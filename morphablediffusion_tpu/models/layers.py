@@ -1,0 +1,298 @@
+"""Shared NN building blocks: norms, convs, attention, transformer blocks.
+
+These re-create the behavior of the reference's layer zoo
+(ldm/modules/diffusionmodules/openaimodel.py ResBlock/Up/Downsample,
+ldm/modules/attention.py CrossAttention/BasicTransformerBlock/
+SpatialTransformer) in idiomatic Flax with channels-last layout.
+
+Numerics notes:
+  * GroupNorm statistics are always computed in float32 (the reference's
+    GroupNorm32 does the same), outputs cast back to the module dtype.
+  * Attention uses `jax.nn.dot_product_attention` so XLA can pick the fused
+    TPU path; softmax accumulates in fp32.
+  * "zero" output convs are zero-initialised exactly like the reference's
+    `zero_module` (openaimodel.py:174-180) — critical for finetune stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+zeros_init = nn.initializers.zeros
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of activation dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+def conv(features, kernel=3, stride=1, padding=None, use_bias=True, name=None,
+         dtype=jnp.float32, kernel_init=None):
+    """NHWC/NDHWC conv; padding defaults to torch-style (k-1)//2 on each side."""
+    if padding is None:
+        padding = (kernel - 1) // 2
+    kwargs = {}
+    if kernel_init is not None:
+        kwargs["kernel_init"] = kernel_init
+    return nn.Conv(
+        features,
+        kernel_size=(kernel,) * 2,
+        strides=(stride,) * 2,
+        padding=padding,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+        **kwargs,
+    )
+
+
+def conv3d(features, kernel=3, stride=1, padding=None, use_bias=True, name=None,
+           dtype=jnp.float32, kernel_init=None):
+    if padding is None:
+        padding = (kernel - 1) // 2
+    kwargs = {}
+    if kernel_init is not None:
+        kwargs["kernel_init"] = kernel_init
+    return nn.Conv(
+        features,
+        kernel_size=(kernel,) * 3,
+        strides=(stride,) * 3,
+        padding=padding,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+        **kwargs,
+    )
+
+
+class ConvTranspose3dTorch(nn.Module):
+    """3D transposed conv matching torch ConvTranspose3d(k=3, s=2, p=1, op=1).
+
+    Output is exactly 2x the input on every spatial dim. The kernel parameter
+    is stored conv-style (k, k, k, in, out), already spatially flipped relative
+    to torch layout; the weight importer handles the transpose+flip.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, D, H, W, C)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=((1, 2), (1, 2), (1, 2)),
+            lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+def nearest_upsample_2d(x):
+    """2x nearest-neighbour upsample, NHWC."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + 3x3 conv (openaimodel.py:92-120)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nearest_upsample_2d(x)
+        return conv(self.features, 3, dtype=self.dtype, name="conv")(x)
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (openaimodel.py:135-161)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv(self.features, 3, stride=2, dtype=self.dtype, name="op")(x)
+
+
+class ResBlock(nn.Module):
+    """SD UNet residual block (openaimodel.py:164-276), NHWC.
+
+    GN(32) -> SiLU -> conv3x3 -> +time_mlp(emb) -> GN -> SiLU -> zero conv3x3,
+    with 1x1 (or identity) skip. use_scale_shift_norm=False path only (the
+    shipped configs never enable it).
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = GroupNorm(32, name="norm_in")(x)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, dtype=self.dtype, name="conv_in")(h)
+        emb_out = nn.Dense(
+            self.out_channels, dtype=self.dtype, param_dtype=jnp.float32,
+            name="emb_proj",
+        )(nn.silu(emb))
+        h = h + emb_out[:, None, None, :]
+        h = GroupNorm(32, name="norm_out")(h)
+        h = nn.silu(h)
+        h = conv(
+            self.out_channels, 3, dtype=self.dtype, name="conv_out",
+            kernel_init=zeros_init,
+        )(h)
+        if x.shape[-1] != self.out_channels:
+            x = conv(self.out_channels, 1, padding=0, dtype=self.dtype,
+                     name="skip")(x)
+        return x + h
+
+
+def attention(q, k, v, num_heads):
+    """Multi-head attention core. q/k/v: (B, L, H*D) -> (B, Lq, H*D).
+
+    fp32 softmax; MXU-friendly fused implementation chosen by XLA.
+    """
+    B, Lq, inner = q.shape
+    head_dim = inner // num_heads
+    q = q.reshape(B, Lq, num_heads, head_dim)
+    k = k.reshape(B, k.shape[1], num_heads, head_dim)
+    v = v.reshape(B, v.shape[1], num_heads, head_dim)
+    out = jax.nn.dot_product_attention(q, k, v)
+    return out.reshape(B, Lq, inner)
+
+
+class CrossAttention(nn.Module):
+    """ldm/modules/attention.py:161-203. Self-attention when context is None."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats, name, bias: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name,
+        )
+        q = dense(inner, "to_q", False)(x)
+        k = dense(inner, "to_k", False)(context)
+        v = dense(inner, "to_v", False)(context)
+        out = attention(q, k, v, self.num_heads)
+        return dense(x.shape[-1], "to_out", True)(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP (attention.py FeedForward with glu=True), mult=4."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * 4
+        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn(context) -> GEGLU FF, pre-LN (attention.py:248-269)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+                                       name=name)
+        d = x.dtype
+        x = CrossAttention(self.num_heads, self.head_dim, self.dtype,
+                           name="attn1")(ln("norm1")(x).astype(d)) + x
+        x = CrossAttention(self.num_heads, self.head_dim, self.dtype,
+                           name="attn2")(ln("norm2")(x).astype(d), context) + x
+        x = GEGLUFeedForward(self.dtype, name="ff")(ln("norm3")(x).astype(d)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> 1x1 in -> transformer blocks on (B, HW, C) -> zero 1x1 out + skip
+    (attention.py:291-336)."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        inner = self.num_heads * self.head_dim
+        h = GroupNorm(32, epsilon=1e-6, name="norm")(x)
+        h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, inner)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.dtype,
+                name=f"block_{i}",
+            )(h, context)
+        h = h.reshape(B, H, W, inner)
+        h = conv(C, 1, padding=0, dtype=self.dtype, name="proj_out",
+                 kernel_init=zeros_init)(h)
+        return h + x
+
+
+class TimestepMLP(nn.Module):
+    """Linear -> SiLU -> Linear time-embedding MLP."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="dense0")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="dense1")(h)

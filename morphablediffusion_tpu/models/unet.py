@@ -1,0 +1,216 @@
+"""SD-style denoiser UNet with depth-wise 3D-aware cross-attention.
+
+Re-creates the reference architecture exactly (so published checkpoints can
+be ported) but in channels-last Flax:
+
+  * `UNet` — ldm/modules/diffusionmodules/openaimodel.py:414-777 `UNetModel`
+    with the shipped config (configs/facescape.yaml:26-42): in 8ch, model 320,
+    out 4, mult (1,2,4,4), 2 res blocks/level, SpatialTransformer at
+    ds 1/2/4, 8 heads, context_dim 768, legacy=False.
+  * `DepthAttention` / `DepthTransformer` — ldm/models/diffusion/attention.py:
+    8-84: query from the 2D feature map, key/value from the per-view frustum
+    volume, softmax over the depth axis only.
+  * `DepthWiseUNet` — attention.py:87-142 `DepthWiseAttention`: one
+    DepthTransformer after the middle block + 9 in the decoder, selected by
+    feature-map width (output_b2c map :100).
+
+TPU notes: all feature maps are NHWC; frustum volumes are (B, D, H, W, C).
+The depth softmax is a tiny D=48 reduction fused by XLA into the surrounding
+1x1 convs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from morphablediffusion_tpu.models.layers import (
+    BasicTransformerBlock,
+    Downsample,
+    GroupNorm,
+    ResBlock,
+    SpatialTransformer,
+    TimestepMLP,
+    Upsample,
+    conv,
+    conv3d,
+    zeros_init,
+)
+from morphablediffusion_tpu.ops.embeddings import timestep_embedding
+
+Dtype = Any
+
+
+class DepthAttention(nn.Module):
+    """Per-pixel attention over the frustum depth axis (attention.py:8-47).
+
+    x: (B, H, W, Cq); context: (B, D, H, W, Cc) -> (B, H, W, Cq).
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        hn, hd = self.num_heads, self.head_dim
+        inner = hn * hd
+        B, H, W, Cq = x.shape
+        D = context.shape[1]
+        scale = hd**-0.5
+
+        q = conv(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
+                 name="to_q")(x)
+        k = conv3d(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
+                   name="to_k")(context)
+        v = conv3d(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
+                   name="to_v")(context)
+
+        q = q.reshape(B, 1, H, W, hn, hd)
+        k = k.reshape(B, D, H, W, hn, hd)
+        v = v.reshape(B, D, H, W, hn, hd)
+
+        sim = jnp.sum(q * k, axis=-1) * scale  # (B, D, H, W, hn)
+        sim = sim.astype(jnp.float32)
+        attn = nn.softmax(sim, axis=1).astype(v.dtype)
+        out = jnp.sum(v * attn[..., None], axis=1)  # (B, H, W, hn, hd)
+        out = out.reshape(B, H, W, inner)
+        return conv(Cq, 1, padding=0, use_bias=False, dtype=self.dtype,
+                    name="to_out")(out)
+
+
+class DepthTransformer(nn.Module):
+    """proj_in(2D) + proj_context(3D) -> DepthAttention -> zero-out conv + skip
+    (attention.py:50-84)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        inner = self.num_heads * self.head_dim
+        ctx_dim = context.shape[-1]
+        x_in = x
+        h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in_conv")(x)
+        h = GroupNorm(8, name="proj_in_norm")(h)
+        h = nn.silu(h)
+
+        c = conv3d(ctx_dim, 1, padding=0, use_bias=False, dtype=self.dtype,
+                   name="proj_context_conv")(context)
+        c = GroupNorm(8, name="proj_context_norm")(c)
+        c = nn.relu(c)
+
+        h = DepthAttention(self.num_heads, self.head_dim, self.dtype,
+                           name="depth_attn")(h, c)
+
+        h = GroupNorm(8, name="proj_out_norm0")(h)
+        h = nn.relu(h)
+        h = conv(inner, 3, use_bias=False, dtype=self.dtype,
+                 name="proj_out_conv0")(h)
+        h = GroupNorm(8, name="proj_out_norm1")(h)
+        h = nn.relu(h)
+        h = conv(x_in.shape[-1], 3, use_bias=False, dtype=self.dtype,
+                 name="proj_out_conv1", kernel_init=zeros_init)(h)
+        return h + x_in
+
+
+class DepthWiseUNet(nn.Module):
+    """The full denoiser. See module docstring for the reference map.
+
+    volume_dims: frustum-volume channel count per scale (w, w/2, w/4, w/8) —
+    (64, 128, 256, 512) in the shipped configs.
+    """
+
+    in_channels: int = 8
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_ds: Sequence[int] = (1, 2, 4)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    volume_dims: Sequence[int] = (64, 128, 256, 512)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, source_dict: Dict[int, jnp.ndarray]):
+        """x: (B, H, W, in_ch); timesteps: (B,); context: (B, M, 768);
+        source_dict: {width: (B, D, width, width, C)} frustum volumes."""
+        mc = self.model_channels
+        emb = TimestepMLP(mc * 4, self.dtype, name="time_embed")(
+            timestep_embedding(timesteps, mc).astype(self.dtype)
+        )
+        x = x.astype(self.dtype)
+        context = context.astype(self.dtype)
+
+        def res(ch, name):
+            return ResBlock(ch, self.dtype, name=name)
+
+        def st(ch, name):
+            return SpatialTransformer(
+                self.num_heads, ch // self.num_heads,
+                self.transformer_depth, self.dtype, name=name,
+            )
+
+        def depth_tf(ctx_dim, name):
+            # heads=4, dim_head=ctx//2 (attention.py:97-115)
+            return DepthTransformer(4, ctx_dim // 2, self.dtype, name=name)
+
+        hs = []
+        h = conv(mc, 3, dtype=self.dtype, name="input_conv")(x)
+        hs.append(h)
+
+        # encoder
+        ds = 1
+        block = 1
+        for level, mult in enumerate(self.channel_mult):
+            ch = mult * mc
+            for _ in range(self.num_res_blocks):
+                h = res(ch, f"in_{block}_res")(h, emb)
+                if ds in self.attention_ds:
+                    h = st(ch, f"in_{block}_attn")(h, context)
+                hs.append(h)
+                block += 1
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(ch, self.dtype, name=f"in_{block}_down")(h)
+                hs.append(h)
+                block += 1
+                ds *= 2
+
+        # middle
+        ch = self.channel_mult[-1] * mc
+        h = res(ch, "mid_res0")(h, emb)
+        h = st(ch, "mid_attn")(h, context)
+        h = res(ch, "mid_res1")(h, emb)
+        d3 = self.volume_dims[3]
+        h = depth_tf(d3, "middle_conditions")(h, source_dict[h.shape[-2]])
+
+        # decoder; DepthTransformers after output blocks 3..11
+        # (attention.py:100 output_b2c)
+        out_cond_ctx = {
+            3: 2, 4: 2, 5: 1, 6: 1, 7: 1, 8: 0, 9: 0, 10: 0, 11: 0,
+        }  # block index -> volume_dims index
+        block = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            ch = mult * mc
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = res(ch, f"out_{block}_res")(h, emb)
+                if ds in self.attention_ds:
+                    h = st(ch, f"out_{block}_attn")(h, context)
+                if level and i == self.num_res_blocks:
+                    h = Upsample(ch, self.dtype, name=f"out_{block}_up")(h)
+                    ds //= 2
+                if block in out_cond_ctx:
+                    cd = self.volume_dims[out_cond_ctx[block]]
+                    h = depth_tf(cd, f"out_{block}_cond")(h, source_dict[h.shape[-2]])
+                block += 1
+
+        h = GroupNorm(32, name="out_norm")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, dtype=self.dtype, name="out_conv",
+                 kernel_init=zeros_init)(h)
+        return h.astype(jnp.float32)
