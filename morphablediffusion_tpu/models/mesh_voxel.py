@@ -1,0 +1,149 @@
+"""Mesh-vertex voxel feature network — TPU-native replacement for spconv.
+
+Reference: `SparseConvNet` (ldm/models/diffusion/network.py:74-96) consumes a
+spconv `SparseConvTensor` of per-vertex 16-d features on a data-dependent
+0.005 m voxel grid (`out_sh`, facescape.py:165-175), runs
+[subm16 x2, stride2 -> 32, subm32 x2, stride2 -> 64, subm64 x3] CUDA sparse
+convs, densifies to (64, out_sh//4), and the caller trilinearly samples that
+dense grid at the 32^3 spatial-volume points
+(morphable_diffusion.py:245-256).
+
+That design is hostile to XLA (dynamic shapes, per-sample Python loop, sparse
+gather/scatter kernels). The TPU-native redesign keeps the *function* —
+vertex features -> smoothed 64-ch volumetric field sampled at query points —
+with static shapes and MXU-friendly dense math:
+
+  1. Scatter-mean vertex features directly into a **coarse** dense grid
+     (voxel = 4 x 0.005 = 0.02 m) of static, dataset-padded shape. This is
+     exactly the resolution of the reference's *output* grid (out_sh//4), so
+     downstream sampling resolution is unchanged; the two stride-2 sparse
+     stages are replaced by the 4x coarser scatter (an average-pool of the
+     fine grid).
+  2. A 7-layer dense 3D CNN (16-16 / 32-32 / 64-64-64, all 3^3, stride 1,
+     bias-free + masked instance-norm + ReLU) mirrors the reference's channel
+     plan and receptive field. Empty space carries zeros; after the first
+     stage the activity mask re-zeroes non-occupied voxels (submanifold
+     analogue), after which activity is allowed to dilate as the reference's
+     stride convs do.
+  3. Trilinear query of the final 64-ch grid at arbitrary metric dhw points.
+
+Normalization: the reference's BatchNorm1d-over-active-sites (eps 1e-3)
+becomes per-sample, per-channel statistics over *occupied* voxels — no
+cross-device sync, no running stats, same "normalize over active sites"
+semantics.
+
+Shapes: grids are (B, Gd, Gh, Gw, C); "dhw" coordinates follow the
+reference's (depth, height, width) = (z, y, x) ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from morphablediffusion_tpu.models.layers import conv3d
+from morphablediffusion_tpu.ops.grid_sample import grid_sample_3d
+
+Dtype = Any
+
+
+def scatter_mean_voxels(vert_features, vert_idx, vert_mask, grid_shape):
+    """Scatter-mean per-vertex features into a dense voxel grid.
+
+    vert_features: (Nv, C); vert_idx: (Nv, 3) int32 dhw voxel indices;
+    vert_mask: (Nv,) {0,1}; grid_shape: static (Gd, Gh, Gw).
+    Returns (grid (Gd, Gh, Gw, C), occupancy (Gd, Gh, Gw, 1)).
+    Out-of-grid vertices are dropped (masked).
+    """
+    Gd, Gh, Gw = grid_shape
+    C = vert_features.shape[-1]
+    d, h, w = vert_idx[:, 0], vert_idx[:, 1], vert_idx[:, 2]
+    inb = (
+        (d >= 0) & (d < Gd) & (h >= 0) & (h < Gh) & (w >= 0) & (w < Gw)
+    ) & (vert_mask > 0)
+    flat = (jnp.clip(d, 0, Gd - 1) * Gh + jnp.clip(h, 0, Gh - 1)) * Gw + jnp.clip(
+        w, 0, Gw - 1
+    )
+    weights = inb.astype(vert_features.dtype)
+    feat_sum = jnp.zeros((Gd * Gh * Gw, C), vert_features.dtype).at[flat].add(
+        vert_features * weights[:, None]
+    )
+    count = jnp.zeros((Gd * Gh * Gw, 1), vert_features.dtype).at[flat].add(
+        weights[:, None]
+    )
+    grid = feat_sum / jnp.maximum(count, 1.0)
+    occ = (count > 0).astype(vert_features.dtype)
+    return grid.reshape(Gd, Gh, Gw, C), occ.reshape(Gd, Gh, Gw, 1)
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Per-channel normalization over occupied voxels only (BN-over-active-
+    sites analogue; eps matches reference BatchNorm1d eps=1e-3)."""
+
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, occ):
+        # x: (B, Gd, Gh, Gw, C); occ: (B, Gd, Gh, Gw, 1)
+        C = x.shape[-1]
+        x32 = x.astype(jnp.float32)
+        occ32 = occ.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(occ32, axis=(1, 2, 3), keepdims=True), 1.0)
+        mean = jnp.sum(x32 * occ32, axis=(1, 2, 3), keepdims=True) / n
+        var = jnp.sum(((x32 - mean) ** 2) * occ32, axis=(1, 2, 3), keepdims=True) / n
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return (y * occ32).astype(x.dtype)
+
+
+class MeshVoxelNet(nn.Module):
+    """Dense scatter + 3D CNN + trilinear query. See module docstring.
+
+    grid_shape: static coarse-grid extent (multiples of 8 recommended);
+    FaceScape/FLAME fits in (48, 48, 48), THuman/SMPL-X in (64, 48, 64).
+    """
+
+    grid_shape: Tuple[int, int, int] = (48, 48, 48)
+    voxel_size: float = 0.02  # == 4 x reference fine voxel (0.005)
+    channels: Sequence[int] = (16, 16, 32, 32, 64, 64, 64)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vert_features, vert_dhw, min_dhw, vert_mask, query_dhw):
+        """vert_features: (B, Nv, C); vert_dhw: (B, Nv, 3) metric (z, y, x);
+        min_dhw: (B, 3); vert_mask: (B, Nv); query_dhw: (B, ..., 3) metric.
+        Returns (B, ..., channels[-1])."""
+        B = vert_features.shape[0]
+        idx = jnp.round(
+            (vert_dhw - min_dhw[:, None, :]) / self.voxel_size
+        ).astype(jnp.int32)
+        grid, occ = jax.vmap(
+            lambda f, i, m: scatter_mean_voxels(f, i, m, self.grid_shape)
+        )(vert_features.astype(self.dtype), idx, vert_mask)
+
+        # Activity mask: fixed at occupancy through the first (submanifold-
+        # analogue) stage, then dilated one voxel per conv — mirroring how
+        # the reference's SubMConv keeps activity fixed while its strided
+        # SparseConv3d stages grow it.
+        h = grid
+        mask = occ.astype(self.dtype)
+        for li, ch in enumerate(self.channels):
+            if li >= 2:
+                mask = nn.max_pool(mask, (3, 3, 3), strides=(1, 1, 1),
+                                   padding="SAME")
+            h = conv3d(ch, 3, use_bias=False, dtype=self.dtype,
+                       name=f"conv{li}")(h)
+            h = MaskedInstanceNorm(name=f"norm{li}")(h, mask)
+            h = nn.relu(h) * mask
+
+        # trilinear query; align_corners grid over the static extent
+        Gd, Gh, Gw = self.grid_shape
+        q = (query_dhw - min_dhw.reshape((B,) + (1,) * (query_dhw.ndim - 2) + (3,))) / self.voxel_size
+        scale = jnp.asarray([(Gw - 1), (Gh - 1), (Gd - 1)], q.dtype)
+        # grid_sample expects (x, y, z) == (w, h, d) ordering, normalized
+        q_xyz = q[..., ::-1] / scale * 2.0 - 1.0
+        return grid_sample_3d(h, q_xyz.astype(h.dtype))

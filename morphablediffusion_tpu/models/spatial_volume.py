@@ -1,0 +1,175 @@
+"""Spatial-volume conditioning orchestrator.
+
+Parity target: `SpatialVolumeNet` (morphable_diffusion.py:151-320):
+
+  * `construct_spatial_volume` (:182-263) — encode all N noisy views,
+    unproject into a shared 32^3 grid in [-0.5, 0.5]^3, sample per-vertex
+    features from that grid, fuse across views, scatter through the mesh
+    voxel net (spconv replacement, see models/mesh_voxel.py), and sample the
+    result back onto the 32^3 grid -> (B, V, V, V, 64).
+  * `construct_view_frustum_volume` (:265-320) — per target view, build a
+    (D=48, 32, 32) camera-frustum ray volume with near/far = camera distance
+    -+ sqrt(3)/2, trilinearly resample the spatial volume along it, and run
+    the FrustumTV3DNet -> 4-scale feature dict keyed by width.
+
+TPU-first notes: the reference's per-view Python loop (:211) and per-sample
+spconv loop (:245) are replaced by flat (B*N) batching and a single batched
+gather; everything is static-shape and lives in one jit graph.
+
+Volume axis convention: volume arrays are indexed (d, h, w) = (z, y, x) with
+xyz world coordinates on the last axis — identical to the reference's
+meshgrid + (2,1,0) permutation (:197-200).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from morphablediffusion_tpu.models.conditioner import (
+    FrustumTV3DNet,
+    NoisyTargetViewEncoder,
+    SMPLFeatureExtractor,
+    SpatialTime3DNet,
+)
+from morphablediffusion_tpu.models.mesh_voxel import MeshVoxelNet
+from morphablediffusion_tpu.ops import geometry
+from morphablediffusion_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+
+Dtype = Any
+
+
+def spatial_grid_xyz(size: int, length: float, dtype=jnp.float32):
+    """(V, V, V, 3) world xyz of the shared volume; array axes are (z, y, x)."""
+    lin = jnp.linspace(-length, length, size, dtype=dtype)
+    z, y, x = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    return jnp.stack([x, y, z], axis=-1)
+
+
+class SpatialVolumeNet(nn.Module):
+    view_num: int = 16
+    input_image_size: int = 256
+    spatial_volume_size: int = 32
+    spatial_volume_length: float = 0.5
+    frustum_volume_depth: int = 48
+    frustum_volume_length: float = 0.86603
+    projection: str = "perspective"
+    use_spatial_volume: bool = False
+    voxel_grid_shape: Tuple[int, int, int] = (48, 48, 48)
+    coarse_voxel_size: float = 0.02
+    volume_dims: Tuple[int, ...] = (64, 128, 256, 512)
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.target_encoder = NoisyTargetViewEncoder(
+            run_dim=16, output_dim=16, dtype=self.dtype
+        )
+        self.smpl_feature_extractor = SMPLFeatureExtractor(16, dtype=self.dtype)
+        self.mesh_voxel = MeshVoxelNet(
+            grid_shape=self.voxel_grid_shape,
+            voxel_size=self.coarse_voxel_size,
+            dtype=self.dtype,
+        )
+        self.frustum_volume_feats = FrustumTV3DNet(
+            dims=self.volume_dims, dtype=self.dtype
+        )
+        if self.use_spatial_volume:
+            self.spatial_volume_feats = SpatialTime3DNet(
+                dims=(64, 128, 256, 512), dtype=self.dtype
+            )
+
+    @property
+    def frustum_volume_size(self) -> int:
+        return self.input_image_size // 8
+
+    def construct_spatial_volume(
+        self, x, t_embed, v_embed, target_Ks, target_RTs, vertices, vert_mask
+    ):
+        """x: (B, N, h, w, 4) noisy latents; t_embed: (B, td); v_embed: (B, N, vd);
+        target_Ks: (B, N, 3+, 3+); target_RTs: (B, N, 3, 4);
+        vertices: (B, Nv, 3) world xyz (mask-padded); vert_mask: (B, Nv).
+        Returns (B, V, V, V, C_vol)."""
+        B, N, h, w, _ = x.shape
+        V = self.spatial_volume_size
+        L = self.spatial_volume_length
+
+        # --- encode every noisy view (flat B*N batch; weights shared) ---
+        x_flat = x.reshape(B * N, h, w, x.shape[-1])
+        td = t_embed.shape[-1]
+        t_flat = jnp.broadcast_to(t_embed[:, None], (B, N, td)).reshape(B * N, td)
+        v_flat = v_embed.reshape(B * N, v_embed.shape[-1])
+        feats = self.target_encoder(x_flat, t_flat, v_flat)  # (B*N, h, w, 16)
+
+        # --- unproject the shared grid into every view ---
+        grid_xyz = spatial_grid_xyz(V, L)  # (V, V, V, 3)
+        grid_b = jnp.broadcast_to(grid_xyz[None], (B * N, V, V, V, 3))
+        Ks_flat = target_Ks.reshape((B * N,) + target_Ks.shape[2:])
+        RT_flat = target_RTs.reshape(B * N, 3, 4)
+        coords = geometry.get_warp_coordinates(
+            grid_b, feats.shape[1], self.input_image_size, Ks_flat, RT_flat,
+            self.projection,
+        )  # (B*N, V, V, V, 2)
+        unproj = grid_sample_2d(feats, coords)  # (B*N, V, V, V, 16)
+
+        # --- per-vertex features: sample each view's volume at the vertices ---
+        vert_grid = (vertices / L).astype(unproj.dtype)  # (B, Nv, 3) in [-1,1]
+        Nv = vertices.shape[1]
+        vert_grid_flat = jnp.broadcast_to(
+            vert_grid[:, None], (B, N, Nv, 3)
+        ).reshape(B * N, Nv, 3)
+        vert_feats = grid_sample_3d(unproj, vert_grid_flat)  # (B*N, Nv, 16)
+        vert_feats = vert_feats.reshape(B, N, Nv, -1)
+        smpl_feats = self.smpl_feature_extractor(vert_feats)  # (B, Nv, 16)
+
+        # --- scatter through the mesh voxel net, query back at the grid ---
+        vert_dhw = vertices[..., ::-1]  # (z, y, x)
+        big = jnp.asarray(1e9, vertices.dtype)
+        min_dhw = jnp.min(
+            jnp.where(vert_mask[..., None] > 0, vert_dhw, big), axis=1
+        )  # (B, 3) == bounds[:, 0, (2,1,0)] of the reference batch dict
+        query_dhw = jnp.broadcast_to(grid_xyz[None, ..., ::-1], (B, V, V, V, 3))
+        volume = self.mesh_voxel(
+            smpl_feats, vert_dhw, min_dhw, vert_mask, query_dhw
+        )  # (B, V, V, V, 64)
+
+        if self.use_spatial_volume:
+            mv = jnp.moveaxis(unproj.reshape(B, N, V, V, V, -1), 1, -2)
+            mv = mv.reshape(B, V, V, V, -1)  # (B,V,V,V,N*16), view-major
+            volume = volume + self.spatial_volume_feats(mv, t_embed)
+        return volume
+
+    def construct_view_frustum_volume(
+        self, spatial_volume, t_embed, v_embed_sel, poses, Ks
+    ):
+        """spatial_volume: (B, V, V, V, C); t_embed: (B, td);
+        v_embed_sel: (B, TN, vd) — already gathered at the target indices;
+        poses: (B, TN, 3, 4); Ks: (B, TN, 3+, 3+).
+        Returns ({width: (B*TN, D', w, w, C')}, depth (B*TN, D, H, W))."""
+        B, TN = poses.shape[:2]
+        Hf = Wf = self.frustum_volume_size
+        D = self.frustum_volume_depth
+        L = self.spatial_volume_length
+
+        poses_flat = poses.reshape(B * TN, 3, 4)
+        Ks_flat = Ks.reshape((B * TN,) + Ks.shape[2:])
+        cam_pos = geometry.camera_positions(poses_flat)  # (B*TN, 3)
+        dist = jnp.linalg.norm(cam_pos, axis=-1)  # (B*TN,)
+        near = dist - self.frustum_volume_length
+        far = dist + self.frustum_volume_length
+
+        xyz, depth = geometry.create_target_volume(
+            D, Hf, self.input_image_size, poses_flat, Ks_flat, near, far,
+            self.projection,
+        )  # (B*TN, D, H, W, 3)
+
+        # one batched gather per sample: reshape ray points to (B, TN*D*H*W, 3)
+        grid = (xyz / L).reshape(B, TN * D * Hf * Wf, 3).astype(spatial_volume.dtype)
+        frustum = grid_sample_3d(spatial_volume, grid)
+        frustum = frustum.reshape(B * TN, D, Hf, Wf, -1)
+
+        td = t_embed.shape[-1]
+        t_flat = jnp.broadcast_to(t_embed[:, None], (B, TN, td)).reshape(B * TN, td)
+        v_flat = v_embed_sel.reshape(B * TN, -1)
+        return self.frustum_volume_feats(frustum, t_flat, v_flat), depth

@@ -127,11 +127,21 @@ class AutoencoderKL(nn.Module):
     """encode -> (mean, logvar); decode. Caller applies the 0.18215 scale."""
 
     embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(z_channels=self.embed_dim, dtype=self.dtype)
-        self.decoder = Decoder(dtype=self.dtype)
+        self.encoder = Encoder(
+            ch=self.ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks,
+            z_channels=self.embed_dim, dtype=self.dtype,
+        )
+        self.decoder = Decoder(
+            ch=self.ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks, dtype=self.dtype,
+        )
         self.quant_conv = conv(2 * self.embed_dim, 1, padding=0,
                                dtype=self.dtype, name="quant_conv")
         self.post_quant_conv = conv(self.embed_dim, 1, padding=0,

@@ -1,0 +1,85 @@
+"""Orbax checkpointing: rolling "last" + permanent snapshots, and resume.
+
+Reference behavior (train_morphable_diffusion.py:276-297 + configs):
+  * rolling `last.ckpt` every 1000 steps (save_last)
+  * permanent snapshot every 2000 steps (save_top_k=-1)
+  * `--resume` restores model/optimizer/step from last.ckpt (:238-241)
+  * refuses to overwrite an existing run without --resume (SetupCallback :73-74)
+
+TPU-native: Orbax async-capable PyTree checkpointing of the whole TrainState
+(params + optimizer state + step + rng), sharding-aware on restore.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        ckpt_dir: str | Path,
+        rolling_every: int = 1000,
+        snapshot_every: int = 2000,
+    ):
+        self.ckpt_dir = Path(ckpt_dir).absolute()
+        self.rolling_every = rolling_every
+        self.snapshot_every = snapshot_every
+        self._last = ocp.CheckpointManager(
+            self.ckpt_dir / "last",
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+        self._snap = ocp.CheckpointManager(
+            self.ckpt_dir / "snapshots",
+            options=ocp.CheckpointManagerOptions(max_to_keep=None),
+        )
+        self._params = ocp.CheckpointManager(
+            self.ckpt_dir / "params",
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+
+    def assert_fresh_or_resume(self, resume: bool):
+        """SetupCallback guard: refuse to clobber an existing run."""
+        if not resume and self.latest_step() is not None:
+            raise RuntimeError(
+                f"checkpoints exist under {self.ckpt_dir}; pass --resume to "
+                "continue or choose a new run directory"
+            )
+
+    def maybe_save(self, state, step: int, force: bool = False):
+        if force or (self.rolling_every and step % self.rolling_every == 0):
+            self._last.save(step, args=ocp.args.StandardSave(state))
+            self._params.save(step, args=ocp.args.StandardSave(state.params))
+        if self.snapshot_every and step > 0 and step % self.snapshot_every == 0:
+            self._snap.save(step, args=ocp.args.StandardSave(state))
+
+    def latest_step(self) -> Optional[int]:
+        return self._last.latest_step()
+
+    def restore(self, abstract_state) -> Any:
+        """Restore the newest rolling checkpoint into abstract_state's
+        structure/shardings (from jax.eval_shape on init_state)."""
+        step = self._last.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.ckpt_dir}")
+        return self._last.restore(
+            step, args=ocp.args.StandardRestore(abstract_state)
+        )
+
+    def restore_params(self, abstract_params) -> Any:
+        """Inference-side restore of the params-only export."""
+        step = self._params.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no params checkpoint under {self.ckpt_dir}")
+        return self._params.restore(
+            step, args=ocp.args.StandardRestore(abstract_params)
+        )
+
+    def wait(self):
+        self._last.wait_until_finished()
+        self._snap.wait_until_finished()
+        self._params.wait_until_finished()

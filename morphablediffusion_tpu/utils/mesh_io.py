@@ -1,0 +1,100 @@
+"""Minimal mesh/pickle IO (replaces the reference's trimesh/read_pickle deps).
+
+Supports exactly what the pipelines need: OBJ vertex lists
+(facescape flame tracking meshes, thuman mesh_smplx.obj — facescape.py:129,
+thuman.py:96), PLY vertex lists (metrical-tracker output mesh/00001.ply used
+by generate_face.sh), and pickled camera metadata (ldm/base_utils.py:12-14).
+"""
+
+from __future__ import annotations
+
+import pickle
+import struct
+from pathlib import Path
+
+import numpy as np
+
+
+def read_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_pickle(obj, path):
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_obj_vertices(path) -> np.ndarray:
+    verts = []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return np.asarray(verts, dtype=np.float64)
+
+
+def load_ply_vertices(path) -> np.ndarray:
+    """ASCII or binary_little_endian PLY; returns (N, 3) float64 xyz."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii", errors="replace")
+    body = data[header_end:]
+
+    fmt = "ascii"
+    n_verts = 0
+    props = []
+    in_vertex = False
+    for line in header.splitlines():
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "format":
+            fmt = t[1]
+        elif t[0] == "element":
+            in_vertex = t[1] == "vertex"
+            if in_vertex:
+                n_verts = int(t[2])
+        elif t[0] == "property" and in_vertex:
+            props.append((t[1], t[2]))
+
+    type_map = {
+        "float": ("f", 4), "float32": ("f", 4), "double": ("d", 8),
+        "float64": ("d", 8), "uchar": ("B", 1), "uint8": ("B", 1),
+        "char": ("b", 1), "int8": ("b", 1), "short": ("h", 2), "ushort": ("H", 2),
+        "int": ("i", 4), "int32": ("i", 4), "uint": ("I", 4), "uint32": ("I", 4),
+    }
+    if fmt == "ascii":
+        rows = []
+        lines = body.decode("ascii").splitlines()
+        idx = {name: i for i, (_, name) in enumerate(props)}
+        for line in lines[:n_verts]:
+            vals = line.split()
+            rows.append([float(vals[idx["x"]]), float(vals[idx["y"]]), float(vals[idx["z"]])])
+        return np.asarray(rows, dtype=np.float64)
+    if fmt != "binary_little_endian":
+        raise ValueError(f"unsupported PLY format {fmt}")
+    fmt_str = "<" + "".join(type_map[t][0] for t, _ in props)
+    stride = struct.calcsize(fmt_str)
+    idx = {name: i for i, (_, name) in enumerate(props)}
+    out = np.empty((n_verts, 3), dtype=np.float64)
+    for i in range(n_verts):
+        vals = struct.unpack_from(fmt_str, body, i * stride)
+        out[i] = (vals[idx["x"]], vals[idx["y"]], vals[idx["z"]])
+    return out
+
+
+def load_mesh_vertices(path) -> np.ndarray:
+    path = Path(path)
+    if path.suffix.lower() == ".obj":
+        return load_obj_vertices(path)
+    if path.suffix.lower() == ".ply":
+        return load_ply_vertices(path)
+    if path.suffix.lower() in (".npy", ".txt"):
+        try:
+            return np.load(path)
+        except (ValueError, pickle.UnpicklingError):
+            return np.loadtxt(path)
+    raise ValueError(f"unsupported mesh format: {path}")

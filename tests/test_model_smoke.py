@@ -1,0 +1,115 @@
+"""End-to-end smoke tests on a tiny model (CPU): init, loss, grads, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morphablediffusion_tpu.models.diffusion import MorphableDiffusion
+from morphablediffusion_tpu.sampling import SyncDDIMSampler
+
+from tiny import tiny_batch, tiny_config
+
+
+@pytest.fixture(scope="module", params=["perspective", "orthographic"])
+def setup(request):
+    cfg = tiny_config(view_num=2, projection=request.param)
+    model = MorphableDiffusion(cfg.model)
+    batch = tiny_batch(cfg, B=1)
+    rngs = {
+        "params": jax.random.key(0),
+        "time": jax.random.key(1),
+        "noise": jax.random.key(2),
+        "view": jax.random.key(3),
+        "vae": jax.random.key(4),
+        "drop": jax.random.key(5),
+    }
+    params = jax.jit(lambda r, b: model.init(r, b, method="init_fn"))(
+        rngs, batch
+    )
+    return cfg, model, batch, params
+
+
+def _loss_rngs(seed=0):
+    k = jax.random.key(seed)
+    names = ["time", "noise", "view", "vae", "drop"]
+    return dict(zip(names, jax.random.split(k, len(names))))
+
+
+def test_training_loss_finite(setup):
+    cfg, model, batch, params = setup
+    loss = jax.jit(
+        lambda p, b: model.apply(p, b, method="training_loss", rngs=_loss_rngs())
+    )(params, batch)
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+
+
+def test_training_grads_flow(setup):
+    cfg, model, batch, params = setup
+
+    # zero-initialized output convs (zero_module parity) block upstream
+    # gradients at exact init; perturb all params slightly first, as one
+    # optimizer step would.
+    k = jax.random.key(42)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(k, len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            l + 0.01 * jax.random.normal(kk, l.shape, l.dtype)
+            for l, kk in zip(leaves, keys)
+        ],
+    )
+
+    def loss_fn(p):
+        return model.apply(p, batch, method="training_loss", rngs=_loss_rngs(1))
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    # UNet depth transformers and conditioning nets must receive gradient
+    interesting = [
+        np.abs(np.asarray(g)).max()
+        for path, g in flat
+        if any(
+            key in jax.tree_util.keystr(path)
+            for key in ("middle_conditions", "spatial_volume", "time_embed")
+        )
+    ]
+    assert len(interesting) > 0
+    assert max(interesting) > 0
+    # frozen modules must NOT receive gradient
+    frozen = [
+        np.abs(np.asarray(g)).max()
+        for path, g in flat
+        if "first_stage" in jax.tree_util.keystr(path)
+        or "clip_image_encoder" in jax.tree_util.keystr(path)
+    ]
+    assert max(frozen) == 0.0
+
+
+@pytest.fixture(scope="module")
+def sample_fn(setup):
+    """One compiled sampler graph shared by every sampling test — XLA:CPU
+    compiles are minutes on this 1-core host, so never compile twice."""
+    cfg, model, batch, params = setup
+    sampler = SyncDDIMSampler(model, sample_steps=2)
+    return jax.jit(lambda p, b, r: sampler.sample(p, b, r, cfg_scale=2.0))
+
+
+def test_sampler_end_to_end(setup, sample_fn):
+    cfg, model, batch, params = setup
+    images, latents = sample_fn(params, batch, jax.random.key(7))
+    m = cfg.model
+    assert images.shape == (1, m.view_num, m.image_size, m.image_size, 3)
+    assert latents.shape == (1, m.view_num, m.latent_size, m.latent_size, 4)
+    assert np.all(np.isfinite(np.asarray(images)))
+
+
+def test_sampler_deterministic(setup, sample_fn):
+    cfg, model, batch, params = setup
+    a = np.asarray(sample_fn(params, batch, jax.random.key(9))[1])
+    b_ = np.asarray(sample_fn(params, batch, jax.random.key(9))[1])
+    np.testing.assert_array_equal(a, b_)
+    c = np.asarray(sample_fn(params, batch, jax.random.key(10))[1])
+    assert np.abs(a - c).max() > 0

@@ -1,0 +1,94 @@
+"""Trainer: param grouping, LR schedule, and an 8-device data-parallel step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morphablediffusion_tpu.parallel.mesh import create_mesh, shard_batch
+from morphablediffusion_tpu.training.lr import lambda_linear_schedule
+from morphablediffusion_tpu.training.trainer import (
+    BASE,
+    COND,
+    FROZEN,
+    Trainer,
+    param_labels,
+)
+
+from tiny import tiny_batch, tiny_config
+
+
+def test_lambda_linear_schedule():
+    s = lambda_linear_schedule(5e-5, warm_up_steps=100, cycle_length=100000,
+                               f_start=0.02, f_max=1.0, f_min=1.0)
+    np.testing.assert_allclose(float(s(0)), 5e-5 * 0.02, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), 5e-5 * (0.02 + 0.98 * 0.5), rtol=1e-5)
+    np.testing.assert_allclose(float(s(100)), 5e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(6000)), 5e-5, rtol=1e-6)
+
+
+def test_param_labels_tiny():
+    fake = {
+        "params": {
+            "first_stage": {"encoder": {"k": jnp.zeros(1)}},
+            "clip_image_encoder": {"block_0": {"k": jnp.zeros(1)}},
+            "time_embed": {"dense0": {"kernel": jnp.zeros(1)}},
+            "spatial_volume": {"mesh_voxel": {"conv0": {"kernel": jnp.zeros(1)}}},
+            "unet": {
+                "time_embed": {"dense0": {"kernel": jnp.zeros(1)}},
+                "mid_res0": {"conv_in": {"kernel": jnp.zeros(1)}},
+                "middle_conditions": {"to_q": {"kernel": jnp.zeros(1)}},
+                "out_5_cond": {"to_q": {"kernel": jnp.zeros(1)}},
+            },
+        }
+    }
+    lbl = param_labels(fake, finetune_unet=True)["params"]
+    assert lbl["first_stage"]["encoder"]["k"] == FROZEN
+    assert lbl["clip_image_encoder"]["block_0"]["k"] == FROZEN
+    assert lbl["time_embed"]["dense0"]["kernel"] == COND
+    assert lbl["spatial_volume"]["mesh_voxel"]["conv0"]["kernel"] == COND
+    assert lbl["unet"]["mid_res0"]["conv_in"]["kernel"] == BASE
+    assert lbl["unet"]["time_embed"]["dense0"]["kernel"] == BASE
+
+    lbl2 = param_labels(fake, finetune_unet=False)["params"]
+    assert lbl2["unet"]["mid_res0"]["conv_in"]["kernel"] == FROZEN
+    assert lbl2["unet"]["middle_conditions"]["to_q"]["kernel"] == BASE
+    assert lbl2["unet"]["out_5_cond"]["to_q"]["kernel"] == BASE
+
+
+def test_data_parallel_train_step_8dev():
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+    cfg = tiny_config(view_num=2)
+    cfg.data.batch_size = 8
+    mesh = create_mesh()
+    trainer = Trainer(cfg, mesh=mesh)
+    batch = tiny_batch(cfg, B=8)
+    batch = shard_batch(batch, mesh)
+    state = trainer.init_state(batch)
+    step = trainer.compile_train_step()
+
+    p0 = float(jnp.sum(jnp.abs(
+        state.params["params"]["unet"]["input_conv"]["kernel"]
+    )))
+    vae_k0 = np.asarray(
+        state.params["params"]["first_stage"]["encoder"]["conv_in"]["kernel"]
+    ).copy()
+
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 1
+
+    # At exact init the UNet's zero-initialized output conv blocks all
+    # upstream gradient (zero_module parity), so interior params only move
+    # from step 2 on, once the output conv is nonzero.
+    state, metrics2 = step(state, batch)
+    assert int(state.step) == 2
+    p2 = float(jnp.sum(jnp.abs(
+        state.params["params"]["unet"]["input_conv"]["kernel"]
+    )))
+    assert p2 != p0  # trainable params moved
+    # frozen params must not move
+    vae_k = np.asarray(
+        state.params["params"]["first_stage"]["encoder"]["conv_in"]["kernel"]
+    )
+    np.testing.assert_array_equal(vae_k, vae_k0)
