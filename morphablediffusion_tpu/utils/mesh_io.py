@@ -86,6 +86,109 @@ def load_ply_vertices(path) -> np.ndarray:
     return out
 
 
+def load_obj(path):
+    """(verts (N,3) float64, faces (M,3) int32); polygons are fan-triangulated."""
+    verts, faces = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for i in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return (
+        np.asarray(verts, dtype=np.float64),
+        np.asarray(faces, dtype=np.int32).reshape(-1, 3),
+    )
+
+
+def load_ply(path):
+    """(verts (N,3) float64, faces (M,3) int32) from ASCII or binary-LE PLY."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii", errors="replace")
+    body = data[header_end:]
+
+    fmt, elements = "ascii", []
+    for line in header.splitlines():
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "format":
+            fmt = t[1]
+        elif t[0] == "element":
+            elements.append({"name": t[1], "count": int(t[2]), "props": []})
+        elif t[0] == "property" and elements:
+            elements[-1]["props"].append(t[1:])
+
+    type_map = {
+        "float": ("f", 4), "float32": ("f", 4), "double": ("d", 8),
+        "float64": ("d", 8), "uchar": ("B", 1), "uint8": ("B", 1),
+        "char": ("b", 1), "int8": ("b", 1), "short": ("h", 2), "ushort": ("H", 2),
+        "int": ("i", 4), "int32": ("i", 4), "uint": ("I", 4), "uint32": ("I", 4),
+    }
+    verts, faces = [], []
+    if fmt == "ascii":
+        lines = body.decode("ascii").splitlines()
+        pos = 0
+        for el in elements:
+            if el["name"] == "vertex":
+                names = [p[-1] for p in el["props"]]
+                xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
+                for line in lines[pos : pos + el["count"]]:
+                    v = line.split()
+                    verts.append([float(v[xi]), float(v[yi]), float(v[zi])])
+            elif el["name"] == "face":
+                for line in lines[pos : pos + el["count"]]:
+                    v = [int(x) for x in line.split()]
+                    idx = v[1 : 1 + v[0]]
+                    for i in range(1, len(idx) - 1):
+                        faces.append([idx[0], idx[i], idx[i + 1]])
+            pos += el["count"]
+    elif fmt == "binary_little_endian":
+        off = 0
+        for el in elements:
+            if el["name"] == "vertex":
+                fmt_str = "<" + "".join(type_map[p[0]][0] for p in el["props"])
+                stride = struct.calcsize(fmt_str)
+                names = [p[-1] for p in el["props"]]
+                xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
+                for i in range(el["count"]):
+                    vals = struct.unpack_from(fmt_str, body, off + i * stride)
+                    verts.append([vals[xi], vals[yi], vals[zi]])
+                off += el["count"] * stride
+            elif el["name"] == "face":
+                # list property: <count_type> <index_type>
+                cnt_t, idx_t = el["props"][0][1], el["props"][0][2]
+                cs, is_ = type_map[cnt_t], type_map[idx_t]
+                for _ in range(el["count"]):
+                    (n,) = struct.unpack_from("<" + cs[0], body, off)
+                    off += cs[1]
+                    idx = struct.unpack_from("<" + is_[0] * n, body, off)
+                    off += is_[1] * n
+                    for i in range(1, n - 1):
+                        faces.append([idx[0], idx[i], idx[i + 1]])
+    else:
+        raise ValueError(f"unsupported PLY format {fmt}")
+    return (
+        np.asarray(verts, dtype=np.float64),
+        np.asarray(faces, dtype=np.int32).reshape(-1, 3),
+    )
+
+
+def load_mesh(path):
+    """(verts, faces) for OBJ/PLY."""
+    path = Path(path)
+    if path.suffix.lower() == ".obj":
+        return load_obj(path)
+    if path.suffix.lower() == ".ply":
+        return load_ply(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
 def load_mesh_vertices(path) -> np.ndarray:
     path = Path(path)
     if path.suffix.lower() == ".obj":
