@@ -61,20 +61,36 @@ def main():
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(abstract))
     print(f"# params: {n_params/1e6:.1f}M", file=sys.stderr)
 
-    sampler = SyncDDIMSampler(model, sample_steps=cfg.model.sample_steps)
-    fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, cfg_scale=2.0))
+    # serving configuration: bf16 matmul/conv weights (fp32 norm params)
+    if os.environ.get("BENCH_F32_PARAMS") != "1":
+        from morphablediffusion_tpu.utils.checkpoint import (
+            cast_params_for_serving,
+        )
 
-    # compile + warmup
-    images, _ = fn(params, batch, jax.random.key(1))
-    images.block_until_ready()
+        params = cast_params_for_serving(params)
+
+    sampler = SyncDDIMSampler(model, sample_steps=cfg.model.sample_steps)
+
+    @jax.jit
+    def fn(p, b, r):
+        images, _ = sampler.sample(p, b, r, cfg_scale=2.0)
+        # in-graph checksum: timing fetches ONE scalar, not the image tensor
+        # (pulling megabytes through the remote-TPU tunnel skews timing, and
+        # block_until_ready alone can return before remote work finishes)
+        return jnp.sum(images.astype(jnp.float32))
+
+    def run(key):
+        return float(fn(params, batch, key))
+
+    run(jax.random.key(1))
 
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     times = []
     for i in range(runs):
         t0 = time.perf_counter()
-        images, _ = fn(params, batch, jax.random.key(2 + i))
-        images.block_until_ready()
+        run(jax.random.key(2 + i))
         times.append(time.perf_counter() - t0)
+    print("# runs:", [round(t, 3) for t in times], file=sys.stderr)
     value = min(times)
 
     print(

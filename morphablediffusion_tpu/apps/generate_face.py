@@ -149,6 +149,8 @@ def main(argv=None):
     parser.add_argument("--no_mica_alignment", action="store_true",
                         help="skip the hard-coded MICA->FaceScape alignment "
                              "(mesh already in training world coordinates)")
+    parser.add_argument("--f32_params", action="store_true",
+                        help="keep fp32 weights (default: bf16 serving cast)")
     flags = parser.parse_args(argv)
 
     import jax
@@ -185,6 +187,12 @@ def main(argv=None):
     batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
     params = load_params(model, batch, flags.ckpt)
+    if not flags.f32_params:
+        from morphablediffusion_tpu.utils.checkpoint import (
+            cast_params_for_serving,
+        )
+
+        params = cast_params_for_serving(params)
     sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps)
     fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale)[0])
     images = np.asarray(fn(params, batch, jax.random.key(flags.seed)))[0]

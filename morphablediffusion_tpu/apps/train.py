@@ -72,6 +72,8 @@ def main(argv=None):
     parser.add_argument("--finetune_from", type=str, default="",
                         help="torch .ckpt (SyncDreamer/SD) to import before training")
     parser.add_argument("--max_steps", type=int, default=0, help="override config")
+    parser.add_argument("--profile_steps", type=str, default="",
+                        help="capture a jax.profiler trace, e.g. '10-15'")
     flags = parser.parse_args(argv)
 
     import jax
@@ -133,39 +135,55 @@ def main(argv=None):
         print(f"resumed from step {int(state.step)}")
 
     step_fn = trainer.compile_train_step()
-    sampler = None
+    sample_fn = None
+    prof_lo = prof_hi = -1
+    if flags.profile_steps:
+        lo, _, hi = flags.profile_steps.partition("-")
+        prof_lo, prof_hi = int(lo), int(hi or lo)
 
     t_last = time.time()
     batch = first
     while int(state.step) < cfg.train.max_steps:
+        if int(state.step) == prof_lo:
+            jax.profiler.start_trace(str(run_dir / "profile"))
         state, metrics = step_fn(state, batch)
         step = int(metrics["step"]) + 1
         batch = shard_batch(next(batches), mesh)  # overlap host load w/ device step
+        if step - 1 == prof_hi and prof_lo >= 0:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {run_dir / 'profile'}")
 
         if step % cfg.train.log_every == 0:
             loss = float(metrics["loss"])
             dt = (time.time() - t_last) / cfg.train.log_every
             t_last = time.time()
-            print(f"step {step} loss {loss:.4f} {dt*1000:.0f} ms/step")
+            mem = jax.local_devices()[0].memory_stats() or {}
+            hbm_gb = mem.get("bytes_in_use", 0) / 2**30
+            print(f"step {step} loss {loss:.4f} {dt*1000:.0f} ms/step "
+                  f"hbm {hbm_gb:.1f} GiB")
             if writer:
                 writer.add_scalar("train/loss", loss, step)
                 writer.add_scalar("train/step_time_s", dt, step)
                 writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step)
+                writer.add_scalar("train/hbm_gib", hbm_gb, step)
 
         if cfg.train.val_check_interval and step % cfg.train.val_check_interval == 0:
             if jax.process_index() == 0:
                 from morphablediffusion_tpu.sampling import SyncDDIMSampler
 
-                if sampler is None:
+                if sample_fn is None:
                     sampler = SyncDDIMSampler(
                         trainer.model, sample_steps=cfg.model.sample_steps
+                    )
+                    # jit ONCE; re-jitting per validation would recompile
+                    sample_fn = jax.jit(
+                        lambda p, b, r: sampler.sample(p, b, r, cfg.model.cfg_scale)
                     )
                 val_batch = {
                     k: jax.numpy.asarray(v) for k, v in next(iter(val_loader)).items()
                 }
-                images, _ = jax.jit(
-                    lambda p, b, r: sampler.sample(p, b, r, cfg.model.cfg_scale)
-                )(state.params, val_batch, jax.random.key(step))
+                images, _ = sample_fn(state.params, val_batch, jax.random.key(step))
                 save_val_sheet(
                     np.asarray(images), val_batch,
                     run_dir / "images" / "val" / f"{step}.jpg",

@@ -49,11 +49,9 @@ class Image2DResBlockWithTV(nn.Module):
             + _dense(self.dim, "time_embed", self.dtype)(t)[:, None, None, :]
             + _dense(self.dim, "view_embed", self.dtype)(v)[:, None, None, :]
         )
-        h = GroupNorm(8, name="norm0")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="norm0", act="silu")(h)
         h = conv(self.dim, 3, dtype=self.dtype, name="conv0")(h)
-        h = GroupNorm(8, name="norm1")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="norm1", act="silu")(h)
         h = conv(self.dim, 3, dtype=self.dtype, name="conv1")(h)
         return x + h
 
@@ -72,8 +70,7 @@ class NoisyTargetViewEncoder(nn.Module):
         for i in range(3):
             h = Image2DResBlockWithTV(self.run_dim, self.dtype,
                                       name=f"res_{i}")(h, t, v)
-        h = GroupNorm(8, name="final_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="final_norm", act="silu")(h)
         return conv(self.output_dim, 3, dtype=self.dtype, name="final_conv")(h)
 
 
@@ -107,8 +104,7 @@ class FrustumTVBlock(nn.Module):
             + _dense(dim, "t_conv", self.dtype)(t)[:, None, None, None, :]
             + _dense(dim, "v_conv", self.dtype)(v)[:, None, None, None, :]
         )
-        h = GroupNorm(8, name="bn")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="bn", act="silu")(h)
         return conv3d(self.out_dim, 3, stride=self.stride, dtype=self.dtype,
                       name="conv")(h)
 
@@ -127,8 +123,7 @@ class FrustumTVUpBlock(nn.Module):
             + _dense(dim, "t_conv", self.dtype)(t)[:, None, None, None, :]
             + _dense(dim, "v_conv", self.dtype)(v)[:, None, None, None, :]
         )
-        h = GroupNorm(8, name="norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="norm", act="silu")(h)
         return ConvTranspose3dTorch(self.out_dim, self.dtype, name="conv")(h)
 
 
@@ -168,8 +163,7 @@ class SpatialTimeBlock(nn.Module):
     def __call__(self, x, t):
         dim = x.shape[-1]
         h = x + _dense(dim, "t_conv", self.dtype)(t)[:, None, None, None, :]
-        h = GroupNorm(8, name="bn")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="bn", act="silu")(h)
         return conv3d(self.out_dim, 3, stride=self.stride, dtype=self.dtype,
                       name="conv")(h)
 
@@ -182,8 +176,7 @@ class SpatialUpTimeBlock(nn.Module):
     def __call__(self, x, t):
         dim = x.shape[-1]
         h = x + _dense(dim, "t_conv", self.dtype)(t)[:, None, None, None, :]
-        h = GroupNorm(8, name="norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="norm", act="silu")(h)
         return ConvTranspose3dTorch(self.out_dim, self.dtype, name="conv")(h)
 
 

@@ -38,6 +38,7 @@ from morphablediffusion_tpu.models.layers import (
     conv3d,
     zeros_init,
 )
+from morphablediffusion_tpu.ops.depth_attention import depth_attention
 from morphablediffusion_tpu.ops.embeddings import timestep_embedding
 
 Dtype = Any
@@ -58,8 +59,6 @@ class DepthAttention(nn.Module):
         hn, hd = self.num_heads, self.head_dim
         inner = hn * hd
         B, H, W, Cq = x.shape
-        D = context.shape[1]
-        scale = hd**-0.5
 
         q = conv(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
                  name="to_q")(x)
@@ -68,15 +67,7 @@ class DepthAttention(nn.Module):
         v = conv3d(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
                    name="to_v")(context)
 
-        q = q.reshape(B, 1, H, W, hn, hd)
-        k = k.reshape(B, D, H, W, hn, hd)
-        v = v.reshape(B, D, H, W, hn, hd)
-
-        sim = jnp.sum(q * k, axis=-1) * scale  # (B, D, H, W, hn)
-        sim = sim.astype(jnp.float32)
-        attn = nn.softmax(sim, axis=1).astype(v.dtype)
-        out = jnp.sum(v * attn[..., None], axis=1)  # (B, H, W, hn, hd)
-        out = out.reshape(B, H, W, inner)
+        out = depth_attention(q, k, v, hn)  # fused Pallas kernel on TPU
         return conv(Cq, 1, padding=0, use_bias=False, dtype=self.dtype,
                     name="to_out")(out)
 
@@ -95,23 +86,19 @@ class DepthTransformer(nn.Module):
         ctx_dim = context.shape[-1]
         x_in = x
         h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in_conv")(x)
-        h = GroupNorm(8, name="proj_in_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(8, name="proj_in_norm", act="silu")(h)
 
         c = conv3d(ctx_dim, 1, padding=0, use_bias=False, dtype=self.dtype,
                    name="proj_context_conv")(context)
-        c = GroupNorm(8, name="proj_context_norm")(c)
-        c = nn.relu(c)
+        c = GroupNorm(8, name="proj_context_norm", act="relu")(c)
 
         h = DepthAttention(self.num_heads, self.head_dim, self.dtype,
                            name="depth_attn")(h, c)
 
-        h = GroupNorm(8, name="proj_out_norm0")(h)
-        h = nn.relu(h)
+        h = GroupNorm(8, name="proj_out_norm0", act="relu")(h)
         h = conv(inner, 3, use_bias=False, dtype=self.dtype,
                  name="proj_out_conv0")(h)
-        h = GroupNorm(8, name="proj_out_norm1")(h)
-        h = nn.relu(h)
+        h = GroupNorm(8, name="proj_out_norm1", act="relu")(h)
         h = conv(x_in.shape[-1], 3, use_bias=False, dtype=self.dtype,
                  name="proj_out_conv1", kernel_init=zeros_init)(h)
         return h + x_in
@@ -209,8 +196,7 @@ class DepthWiseUNet(nn.Module):
                     h = depth_tf(cd, f"out_{block}_cond")(h, source_dict[h.shape[-2]])
                 block += 1
 
-        h = GroupNorm(32, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, name="out_norm", act="silu")(h)
         h = conv(self.out_channels, 3, dtype=self.dtype, name="out_conv",
                  kernel_init=zeros_init)(h)
         return h.astype(jnp.float32)

@@ -35,11 +35,9 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm(32, epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(32, epsilon=1e-6, name="norm1", act="silu")(x)
         h = conv(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(32, epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, epsilon=1e-6, name="norm2", act="silu")(h)
         h = conv(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = conv(self.out_channels, 1, padding=0, dtype=self.dtype,
@@ -91,8 +89,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(h.shape[-1], self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(h.shape[-1], self.dtype, name="mid_block_2")(h)
-        h = GroupNorm(32, epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, epsilon=1e-6, name="norm_out", act="silu")(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
         return conv(out_ch, 3, dtype=self.dtype, name="conv_out")(h)
 
@@ -118,8 +115,7 @@ class Decoder(nn.Module):
             if level != 0:
                 h = nearest_upsample_2d(h)
                 h = conv(ch, 3, dtype=self.dtype, name=f"up_{level}_upsample")(h)
-        h = GroupNorm(32, epsilon=1e-6, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, epsilon=1e-6, name="norm_out", act="silu")(h)
         return conv(self.out_ch, 3, dtype=self.dtype, name="conv_out")(h)
 
 

@@ -1,0 +1,142 @@
+"""Fused GroupNorm (+ optional activation) Pallas TPU kernel.
+
+GroupNorm dominates the non-matmul time of the denoising step (~19% in the
+profiler): XLA computes the fp32 statistics in one pass over the activation
+and normalizes in another, so every GN costs >= 2 HBM reads + 1 write, plus
+convert fusions. This kernel does everything in one VMEM residency per
+sample: the per-group sum/sum-of-squares reductions run as ONE MXU matmul
+against a constant (C, G) segment matrix, the normalization + affine +
+activation are applied in-register, and the activation is read exactly once.
+
+Numerics: statistics and the normalization math in fp32 (matching flax
+GroupNorm), output cast back to the input dtype. Backward = recompute via
+the XLA reference (training is conv-backward dominated).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+_ACTS = {
+    None: lambda x: x,
+    "silu": lambda x: x * jax.nn.sigmoid(x),
+    "relu": lambda x: jnp.maximum(x, 0.0),
+}
+
+
+def _reference(x, gamma, beta, num_groups: int, epsilon: float, act):
+    B = x.shape[0]
+    C = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(B, -1, num_groups, C // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + epsilon)
+    y = y.reshape(x.shape) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return _ACTS[act](y).astype(x.dtype)
+
+
+def _kernel(x_ref, g_ref, b_ref, o_ref, *, num_groups, epsilon, act):
+    x = x_ref[0]                      # (S, C) one sample, spatial flattened
+    S, C = x.shape
+    cg = C // num_groups
+
+    lane = lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    grp = lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    seg = (lane // cg == grp).astype(jnp.float32)          # (C, G)
+
+    xf = x.astype(jnp.float32)
+    # reduce the spatial rows on the VPU first (one pass over x in VMEM),
+    # THEN the cross-lane group reduction is a tiny (1, C) @ (C, G) matmul
+    colsum = jnp.sum(xf, axis=0, keepdims=True)             # (1, C)
+    colsum_sq = jnp.sum(xf * xf, axis=0, keepdims=True)     # (1, C)
+    n = S * cg
+    mean = jnp.dot(colsum, seg, preferred_element_type=jnp.float32)[0] / n
+    ex2 = jnp.dot(colsum_sq, seg, preferred_element_type=jnp.float32)[0] / n
+    var = ex2 - mean * mean
+
+    inv = lax.rsqrt(var + epsilon)                          # (G,)
+    # broadcast group stats back to lanes via the transposed segment matrix
+    mean_l = (seg @ mean.reshape(num_groups, 1)).reshape(1, C)
+    inv_l = (seg @ inv.reshape(num_groups, 1)).reshape(1, C)
+
+    gamma = g_ref[0].astype(jnp.float32).reshape(1, C)
+    beta = b_ref[0].astype(jnp.float32).reshape(1, C)
+    y = (xf - mean_l) * inv_l * gamma + beta
+    y = _ACTS[act](y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pallas_forward(x, gamma, beta, num_groups, epsilon, act):
+    B = x.shape[0]
+    C = x.shape[-1]
+    S = 1
+    for d in x.shape[1:-1]:
+        S *= d
+    x2 = x.reshape(B, S, C)
+    g2 = gamma.reshape(1, C)
+    b2 = beta.reshape(1, C)
+    kernel = functools.partial(
+        _kernel, num_groups=num_groups, epsilon=epsilon, act=act
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+    )(x2, g2, b2)
+    return y.reshape(x.shape)
+
+
+def _use_pallas(x, num_groups) -> bool:
+    # OFF by default: measured end-to-end on v5e the kernel LOST to XLA
+    # (8.65 s vs 5.88 s for the 16-view avatar) — grid=(B,) serializes per
+    # sample and the (2S, C) @ (C, G=32) stats matmul wastes 3/4 of each
+    # 128-lane MXU tile. Kept (MDTPU_PALLAS_GROUPNORM=1) as a baseline for
+    # a future revision with batched grid + wider stats layout.
+    import os
+
+    if not os.environ.get("MDTPU_PALLAS_GROUPNORM"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    C = x.shape[-1]
+    S = 1
+    for d in x.shape[1:-1]:
+        S *= d
+    # one sample must fit comfortably in VMEM (bf16 in + fp32 temporaries)
+    return C % 128 == 0 and (C // num_groups) >= 1 and S * C <= 2_000_000
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm(x, gamma, beta, num_groups: int = 32, epsilon: float = 1e-5,
+               act: str | None = None):
+    """Fused GroupNorm(+act). x: (B, ..., C); gamma/beta: (C,)."""
+    if _use_pallas(x, num_groups):
+        return _pallas_forward(x, gamma, beta, num_groups, epsilon, act)
+    return _reference(x, gamma, beta, num_groups, epsilon, act)
+
+
+def _fwd(x, gamma, beta, num_groups, epsilon, act):
+    return group_norm(x, gamma, beta, num_groups, epsilon, act), (x, gamma, beta)
+
+
+def _bwd(num_groups, epsilon, act, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x, gamma, beta: _reference(x, gamma, beta, num_groups, epsilon, act),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+group_norm.defvjp(_fwd, _bwd)

@@ -71,8 +71,8 @@ def _norm(tkey: str, our: str) -> List[Tuple[str, str, str]]:
 
 
 def _gn(tkey: str, our: str):
-    """our GroupNorm wrapper nests an anonymous nn.GroupNorm."""
-    return _norm(tkey, f"{our}/GroupNorm_0")
+    """our GroupNorm wrapper owns scale/bias directly (fused kernel)."""
+    return _norm(tkey, our)
 
 
 def _wb(tkey: str, our: str, kind: str, bias: bool = True):

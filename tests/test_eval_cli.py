@@ -1,0 +1,92 @@
+"""Eval harness CLI stages on synthetic fixtures (host-side, no model)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from morphablediffusion_tpu.apps.eval_2d import main as eval_2d_main
+from morphablediffusion_tpu.apps.eval_keypoints import main as kpts_main
+from morphablediffusion_tpu.apps.eval_select_views import select_views
+
+
+@pytest.fixture
+def eval_fixture(tmp_path):
+    """Synthetic facescape root (1 test subject), a generated strip, and
+    kpts JSONs."""
+    rng = np.random.default_rng(0)
+    subject, exp = "122", "01"
+    d = tmp_path / "data" / subject / exp
+    cams = {}
+    views = [0, 1, 2]
+    gt_imgs = []
+    for v in views:
+        img = rng.integers(0, 255, (32, 32, 4), dtype=np.uint8)
+        img[..., 3] = 255
+        vd = d / f"view_{str(v).zfill(5)}"
+        vd.mkdir(parents=True)
+        Image.fromarray(img, "RGBA").save(vd / "rgba_colorcalib.png")
+        gt_imgs.append(img[..., :3].astype(np.float32) / 255.0)
+        cams[str(v)] = {
+            "intrinsics": [[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]],
+            "extrinsics": [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 1.5]],
+            "angles": {"azimuth": (v - 1) * 10.0, "elevation": 0.0},
+        }
+    (d / "cameras.json").write_text(json.dumps(cams))
+
+    # stage 1 output
+    views_json = tmp_path / "views.json"
+    meta = select_views(str(tmp_path / "data"))
+    views_json.write_text(json.dumps(meta))
+
+    # a "generated" strip that equals GT (perfect metrics) for the targets
+    sel = meta[subject][exp]["target_views"]
+    strip = np.concatenate(
+        [(gt_imgs[int(v)] * 255).astype(np.uint8) for v in sel], axis=1
+    )
+    gen_dir = tmp_path / "gen"
+    gen_dir.mkdir()
+    Image.fromarray(strip).save(gen_dir / f"{subject}_{exp}.png")
+
+    kpts = {f"{subject}_{exp}_{v}": rng.uniform(5, 27, (68, 2)).tolist()
+            for v in sel}
+    gt_kpts_path = tmp_path / "kpts_gt.json"
+    pred_kpts_path = tmp_path / "kpts_pred.json"
+    gt_kpts_path.write_text(json.dumps(kpts))
+    pred_kpts_path.write_text(json.dumps(kpts))
+    return tmp_path, views_json, gen_dir, gt_kpts_path, pred_kpts_path
+
+
+def test_select_views(eval_fixture):
+    tmp_path, views_json, *_ = eval_fixture
+    meta = json.loads(views_json.read_text())
+    e = meta["122"]["01"]
+    # input = min-azimuth frontal; all 3 views are < 90 deg targets
+    assert e["input_view"] == "0"  # azimuth -10 is the minimum
+    assert sorted(e["target_views"]) == ["0", "1", "2"]
+
+
+def test_eval_keypoints_precomputed(eval_fixture, capsys):
+    tmp_path, _, _, gt_kpts, _ = eval_fixture
+    out = tmp_path / "kpts_out.json"
+    kpts_main(["--image_dir", "unused", "--output", str(out),
+               "--backend", "precomputed", "--precomputed", str(gt_kpts)])
+    data = json.loads(out.read_text())
+    assert all(len(v) == 68 for v in data.values())
+
+
+def test_eval_2d_perfect_reconstruction(eval_fixture):
+    tmp_path, views_json, gen_dir, gt_kpts, pred_kpts = eval_fixture
+    result = eval_2d_main([
+        "--data_dir", str(tmp_path / "data"),
+        "--generated_dir", str(gen_dir),
+        "--views_json", str(views_json),
+        "--image_size", "32",
+        "--pred_kpts", str(pred_kpts),
+        "--gt_kpts", str(gt_kpts),
+    ])
+    assert result["pairs"] == 3
+    assert result["ssim"] > 0.99
+    assert result["psnr"] > 40
+    assert result["pck@0.2"] == 1.0

@@ -92,3 +92,20 @@ def test_data_parallel_train_step_8dev():
         state.params["params"]["first_stage"]["encoder"]["conv_in"]["kernel"]
     )
     np.testing.assert_array_equal(vae_k, vae_k0)
+
+
+def test_cast_params_for_serving():
+    from morphablediffusion_tpu.utils.checkpoint import cast_params_for_serving
+
+    params = {
+        "params": {
+            "unet": {"input_conv": {"kernel": jnp.zeros((3, 3, 8, 16))}},
+            "blk": {"GroupNorm_0": {"scale": jnp.ones(16),
+                                    "bias": jnp.zeros(16)}},
+            "out_norm": {"scale": jnp.ones(16)},
+        }
+    }
+    cast = cast_params_for_serving(params)
+    assert cast["params"]["unet"]["input_conv"]["kernel"].dtype == jnp.bfloat16
+    assert cast["params"]["blk"]["GroupNorm_0"]["scale"].dtype == jnp.float32
+    assert cast["params"]["out_norm"]["scale"].dtype == jnp.float32
