@@ -79,8 +79,12 @@ def main():
         # block_until_ready alone can return before remote work finishes)
         return jnp.sum(images.astype(jnp.float32))
 
-    def run(key):
-        return float(fn(params, batch, key))
+    if os.environ.get("BENCH_SYNC") == "block":
+        def run(key):  # diagnostic only: may under-measure through the tunnel
+            fn(params, batch, key).block_until_ready()
+    else:
+        def run(key):
+            return float(fn(params, batch, key))
 
     run(jax.random.key(1))
 

@@ -68,3 +68,18 @@ def test_gradients_match_reference(rng):
     g2 = jax.grad(lambda x: jnp.sum(gn._reference(x, gamma, beta, 32, 1e-5, None) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_constant_input_stays_finite():
+    """Channel-wise constant inputs make E[x^2]-E[x]^2 catastrophically
+    cancel; with the TPU MXU's bf16 multiply rounding the result can be
+    negative beyond epsilon (observed as all-NaN UNet outputs). The variance
+    clamp + HIGHEST-precision stats must keep this finite everywhere."""
+    x = jnp.broadcast_to(
+        jnp.linspace(-2.0, 2.0, 32).reshape(1, 1, 1, 32), (2, 8, 8, 32)
+    )
+    for act in (None, "silu", "relu"):
+        y = gn.group_norm(x, jnp.ones(32), jnp.zeros(32), 32, 1e-5, act)
+        assert bool(jnp.isfinite(y).all())
+        # constant input -> zero-centered output, beta=0 -> exactly act(0)
+        np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-3)
