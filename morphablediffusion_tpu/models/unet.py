@@ -60,16 +60,20 @@ class DepthAttention(nn.Module):
         inner = hn * hd
         B, H, W, Cq = x.shape
 
-        q = conv(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
-                 name="to_q")(x)
-        k = conv3d(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
-                   name="to_k")(context)
-        v = conv3d(inner, 1, padding=0, use_bias=False, dtype=self.dtype,
-                   name="to_v")(context)
+        # 1x1(x1) projections as Dense: nn.Conv with a unit kernel lowers to
+        # a conv whose output layout forces a full relayout copy of the big
+        # (B, D, H, W, C) k/v tensors before the attention kernel (~10 ms/
+        # step profiled); a last-axis matmul keeps the standard layout.
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(context)
+        v = dense(inner, "to_v")(context)
 
         out = depth_attention(q, k, v, hn)  # fused Pallas kernel on TPU
-        return conv(Cq, 1, padding=0, use_bias=False, dtype=self.dtype,
-                    name="to_out")(out)
+        return dense(Cq, "to_out")(out)
 
 
 class DepthTransformer(nn.Module):
@@ -88,8 +92,8 @@ class DepthTransformer(nn.Module):
         h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in_conv")(x)
         h = GroupNorm(8, name="proj_in_norm", act="silu")(h)
 
-        c = conv3d(ctx_dim, 1, padding=0, use_bias=False, dtype=self.dtype,
-                   name="proj_context_conv")(context)
+        c = nn.Dense(ctx_dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj_context_conv")(context)
         c = GroupNorm(8, name="proj_context_norm", act="relu")(c)
 
         h = DepthAttention(self.num_heads, self.head_dim, self.dtype,

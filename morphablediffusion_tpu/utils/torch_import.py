@@ -216,12 +216,12 @@ def _depth_transformer(t: str, o: str):
     return (
         _wb(f"{t}.proj_in.0", f"{o}/proj_in_conv", CONV2)
         + _gn(f"{t}.proj_in.1", f"{o}/proj_in_norm")
-        + _wb(f"{t}.proj_context.0", f"{o}/proj_context_conv", CONV3, bias=False)
+        + _wb(f"{t}.proj_context.0", f"{o}/proj_context_conv", LINEAR, bias=False)
         + _gn(f"{t}.proj_context.1", f"{o}/proj_context_norm")
-        + _wb(f"{t}.depth_attn.to_q", f"{o}/depth_attn/to_q", CONV2, bias=False)
-        + _wb(f"{t}.depth_attn.to_k", f"{o}/depth_attn/to_k", CONV3, bias=False)
-        + _wb(f"{t}.depth_attn.to_v", f"{o}/depth_attn/to_v", CONV3, bias=False)
-        + _wb(f"{t}.depth_attn.to_out", f"{o}/depth_attn/to_out", CONV2, bias=False)
+        + _wb(f"{t}.depth_attn.to_q", f"{o}/depth_attn/to_q", LINEAR, bias=False)
+        + _wb(f"{t}.depth_attn.to_k", f"{o}/depth_attn/to_k", LINEAR, bias=False)
+        + _wb(f"{t}.depth_attn.to_v", f"{o}/depth_attn/to_v", LINEAR, bias=False)
+        + _wb(f"{t}.depth_attn.to_out", f"{o}/depth_attn/to_out", LINEAR, bias=False)
         + _gn(f"{t}.proj_out.0", f"{o}/proj_out_norm0")
         + _wb(f"{t}.proj_out.2", f"{o}/proj_out_conv0", CONV2, bias=False)
         + _gn(f"{t}.proj_out.3", f"{o}/proj_out_norm1")
