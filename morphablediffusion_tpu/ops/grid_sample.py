@@ -14,7 +14,9 @@ interface.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _unnormalize(coord, size):
@@ -105,6 +107,16 @@ def grid_sample_3d(feat, grid):
 
     x indexes W, y indexes H, z indexes D (PyTorch convention).
     Returns (B, ..., C); zeros outside the volume.
+
+    Implemented as ONE `lax.gather` of a (2, 2, 2, C) corner block per point
+    instead of 8 independent row gathers: TPU gathers are transaction-bound,
+    so fetching all 8 corners in a single contiguous-C slice is ~8x fewer
+    transactions for the hot frustum-resampling path (measured ~17 ms/step
+    -> see PERF.md). Zero padding falls out of the hat-weight formulation:
+    the block start is clamped to the volume, tap weights are computed
+    against the ACTUAL (clamped) tap positions, and a hat weight
+    max(0, 1 - |coord - tap|) is zero for any tap the true footprint does
+    not touch — so out-of-range mass is dropped exactly as in PyTorch.
     """
     B, D, H, W, C = feat.shape
     out_shape = grid.shape[:-1] + (C,)
@@ -114,41 +126,40 @@ def grid_sample_3d(feat, grid):
     iy = _unnormalize(g[..., 1], H)
     iz = _unnormalize(g[..., 2], D)
 
-    ix0 = jnp.floor(ix)
-    iy0 = jnp.floor(iy)
-    iz0 = jnp.floor(iz)
-    tx = ix - ix0
-    ty = iy - iy0
-    tz = iz - iz0
+    # block starts, clamped so the (2,2,2) footprint is always in-bounds
+    sx = jnp.clip(jnp.floor(ix), 0, max(W - 2, 0)).astype(jnp.int32)
+    sy = jnp.clip(jnp.floor(iy), 0, max(H - 2, 0)).astype(jnp.int32)
+    sz = jnp.clip(jnp.floor(iz), 0, max(D - 2, 0)).astype(jnp.int32)
 
-    flat = feat.reshape(B, D * H * W, C)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2),
+    )
 
-    def corner(dz, dy, dx):
-        cz = iz0 + dz
-        cy = iy0 + dy
-        cx = ix0 + dx
-        valid = (
-            (cz >= 0)
-            & (cz <= D - 1)
-            & (cy >= 0)
-            & (cy <= H - 1)
-            & (cx >= 0)
-            & (cx <= W - 1)
-        )
-        czc = jnp.clip(cz, 0, D - 1).astype(jnp.int32)
-        cyc = jnp.clip(cy, 0, H - 1).astype(jnp.int32)
-        cxc = jnp.clip(cx, 0, W - 1).astype(jnp.int32)
-        idx = (czc * H + cyc) * W + cxc
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return vals * valid[..., None].astype(feat.dtype)
+    def gather_one(f, idx):
+        return lax.gather(
+            f, idx, dnums, slice_sizes=(2, 2, 2, C), mode=lax.GatherScatterMode.CLIP
+        )  # (P, 2, 2, 2, C)
 
-    wx = (1 - tx, tx)
-    wy = (1 - ty, ty)
-    wz = (1 - tz, tz)
-    out = 0.0
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                w = (wz[dz] * wy[dy] * wx[dx])[..., None].astype(feat.dtype)
-                out = out + corner(dz, dy, dx) * w
+    idx = jnp.stack([sz, sy, sx], axis=-1)  # (B, P, 3)
+    blocks = jax.vmap(gather_one)(feat, idx)
+
+    # hat weights at the actual tap positions (start, start+1) per axis
+    def taps(coord, start):
+        t0 = jnp.maximum(0.0, 1.0 - jnp.abs(coord - start))
+        t1 = jnp.maximum(0.0, 1.0 - jnp.abs(coord - (start + 1)))
+        return t0, t1
+
+    wx0, wx1 = taps(ix, sx)
+    wy0, wy1 = taps(iy, sy)
+    wz0, wz1 = taps(iz, sz)
+
+    wz = jnp.stack([wz0, wz1], axis=-1)  # (B, P, 2)
+    wy = jnp.stack([wy0, wy1], axis=-1)
+    wx = jnp.stack([wx0, wx1], axis=-1)
+    w = (
+        wz[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
+    ).astype(feat.dtype)  # (B, P, 2, 2, 2)
+    out = jnp.einsum("bpzyx,bpzyxc->bpc", w, blocks)
     return out.reshape(out_shape)

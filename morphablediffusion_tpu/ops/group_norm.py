@@ -52,11 +52,18 @@ def _reference(x, gamma, beta, num_groups: int, epsilon: float, act):
 
     x2d = x.reshape(B, -1, C)
     xf = x2d.astype(jnp.float32)
-    # HIGHEST precision: the TPU MXU's default bf16-multiply rounding makes
-    # E[x^2] - E[x]^2 of a constant input negative beyond epsilon -> NaN
+    # Two-stage reduction: the spatial axis collapses on the VPU as a fused
+    # fp32 reduce that reads the bf16 activation straight from HBM (no
+    # materialized fp32 copy — a big einsum over xf forced ~27 ms/step of
+    # convert passes), then the cross-lane group reduction is a tiny
+    # (B, C) @ (C, G) matmul. HIGHEST precision on that matmul: the MXU's
+    # default bf16-multiply rounding makes E[x^2] - E[x]^2 of a constant
+    # input negative beyond epsilon -> NaN.
+    colsum = jnp.sum(xf, axis=1)            # (B, C), one fused pass
+    colsq = jnp.sum(xf * xf, axis=1)        # (B, C), fuses with the above
     hp = lax.Precision.HIGHEST
-    s1 = jnp.einsum("bsc,cg->bg", xf, seg, precision=hp)  # (B, G)
-    s2 = jnp.einsum("bsc,cg->bg", xf * xf, seg, precision=hp)
+    s1 = jnp.dot(colsum, seg, precision=hp)  # (B, G)
+    s2 = jnp.dot(colsq, seg, precision=hp)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = lax.rsqrt(var + epsilon)
