@@ -196,11 +196,12 @@ class MorphableDiffusion(nn.Module):
         t2 = jnp.concatenate([t_flat, t_flat], axis=0)
         clip2 = jnp.concatenate([clip_flat, jnp.zeros_like(clip_flat)], axis=0)
         concat2 = jnp.concatenate([concat_flat, jnp.zeros_like(concat_flat)], axis=0)
-        feats2 = {
-            k: jnp.concatenate([v, jnp.zeros_like(v)], axis=0)
-            for k, v in volume_feats.items()
-        }
-        eps2 = self.apply_unet(x2, t2, clip2, feats2, concat2)
+        # volume_feats stays at half batch: DepthTransformer detects the
+        # 2:1 ratio and reproduces the reference's zeros_like(v)
+        # unconditional source_dict (morphable_diffusion.py:138-140)
+        # analytically instead of projecting a (B*N, 48, w, w, C) zero
+        # tensor through the depth branch.
+        eps2 = self.apply_unet(x2, t2, clip2, volume_feats, concat2)
         s, s_uc = jnp.split(eps2, 2, axis=0)
         eps = s_uc + cfg_scale * (s - s_uc)
         return eps.reshape(B, N, h, w, C)

@@ -69,3 +69,26 @@ def test_gradients_flow(rng):
     np.testing.assert_allclose(np.asarray(gq), np.asarray(ref_gq), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(ref_gk), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(ref_gv), rtol=1e-5)
+
+
+def test_cfg_doubled_batch_matches_zero_context(rng):
+    """DepthTransformer with a CFG-doubled batch (context at half batch) must
+    equal the explicit formulation that projects a zeros_like context for the
+    unconditional half (the reference's predict_with_unconditional_scale,
+    morphable_diffusion.py:138-140)."""
+    from morphablediffusion_tpu.models.unet import DepthTransformer
+
+    B, D, H, W, C, CTX = 2, 6, 4, 4, 16, 8
+    x = _rand(rng, (2 * B, H, W, C))
+    ctx = _rand(rng, (B, D, H, W, CTX))
+
+    mod = DepthTransformer(num_heads=2, head_dim=8)
+    params = mod.init(jax.random.key(0), x[:B], ctx)
+
+    # explicit: full doubled batch with zeroed unconditional context
+    ctx_full = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+    ref = mod.apply(params, x, ctx_full)
+    # fast path: half-batch context, analytic unconditional half
+    out = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
