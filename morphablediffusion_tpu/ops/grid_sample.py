@@ -131,19 +131,43 @@ def grid_sample_3d(feat, grid):
     sy = jnp.clip(jnp.floor(iy), 0, max(H - 2, 0)).astype(jnp.int32)
     sz = jnp.clip(jnp.floor(iz), 0, max(D - 2, 0)).astype(jnp.int32)
 
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2),
-    )
+    P = g.shape[1]
+    if P >= D * H * W and min(D, H, W) >= 2:
+        # Overlapped-table path for many-points-per-voxel workloads (the
+        # frustum resample: 786k points from a 32^3 volume). Build a
+        # (D-1, H-1, W-1, 8C) table whose cell (z, y, x) holds ALL 8 corners
+        # of that lattice cell as contiguous channels; each point then costs
+        # ONE contiguous 8C-row gather (1 KB at C=64) instead of a strided
+        # (2,2,2,C) slice of four 256 B runs. TPU gathers are transaction-
+        # bound, so fewer/longer runs win; the table build is a single
+        # streaming concat (~8x volume bytes, amortized over P >> V points).
+        corners = [
+            feat[:, dz : dz + D - 1, dy : dy + H - 1, dx : dx + W - 1]
+            for dz in (0, 1)
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ]
+        table = jnp.concatenate(corners, axis=-1).reshape(
+            B, (D - 1) * (H - 1) * (W - 1), 8 * C
+        )
+        flat_idx = (sz * (H - 1) + sy) * (W - 1) + sx  # starts already <= dim-2
+        rows = jnp.take_along_axis(table, flat_idx[..., None], axis=1)
+        blocks = rows.reshape(B, P, 2, 2, 2, C)
+    else:
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
+        )
 
-    def gather_one(f, idx):
-        return lax.gather(
-            f, idx, dnums, slice_sizes=(2, 2, 2, C), mode=lax.GatherScatterMode.CLIP
-        )  # (P, 2, 2, 2, C)
+        def gather_one(f, idx):
+            return lax.gather(
+                f, idx, dnums, slice_sizes=(2, 2, 2, C),
+                mode=lax.GatherScatterMode.CLIP,
+            )  # (P, 2, 2, 2, C)
 
-    idx = jnp.stack([sz, sy, sx], axis=-1)  # (B, P, 3)
-    blocks = jax.vmap(gather_one)(feat, idx)
+        idx = jnp.stack([sz, sy, sx], axis=-1)  # (B, P, 3)
+        blocks = jax.vmap(gather_one)(feat, idx)
 
     # hat weights at the actual tap positions (start, start+1) per axis
     def taps(coord, start):
