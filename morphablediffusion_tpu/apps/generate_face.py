@@ -149,6 +149,9 @@ def main(argv=None):
     parser.add_argument("--no_mica_alignment", action="store_true",
                         help="skip the hard-coded MICA->FaceScape alignment "
                              "(mesh already in training world coordinates)")
+    parser.add_argument("--view_parallel", action="store_true",
+                        help="shard the synchronized-view axis across all "
+                             "visible TPU chips (multi-chip inference)")
     parser.add_argument("--f32_params", action="store_true",
                         help="keep fp32 weights (default: bf16 serving cast)")
     flags = parser.parse_args(argv)
@@ -194,7 +197,21 @@ def main(argv=None):
 
         params = cast_params_for_serving(params)
     sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps)
-    fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale)[0])
+    vs = None
+    if flags.view_parallel and len(jax.devices()) > 1:
+        from morphablediffusion_tpu.parallel.mesh import (
+            create_view_mesh, view_sharding,
+        )
+
+        n = len(jax.devices())
+        assert cfg.model.view_num % n == 0, (
+            f"view_num {cfg.model.view_num} must divide over {n} devices"
+        )
+        vs = view_sharding(create_view_mesh(jax.devices()))
+    fn = jax.jit(
+        lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale,
+                                       view_sharding=vs)[0]
+    )
     images = np.asarray(fn(params, batch, jax.random.key(flags.seed)))[0]
 
     out = Path(flags.output_dir)

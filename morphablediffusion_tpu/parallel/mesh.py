@@ -49,3 +49,26 @@ def global_batch_from_local(batch: dict, mesh: Mesh, axis_name: str = "data") ->
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
     )
+
+
+def create_view_mesh(devices: Optional[Sequence] = None,
+                     axis_name: str = "view") -> Mesh:
+    """1-D mesh over the synchronized-VIEW axis, for multi-chip sampling.
+
+    The reference serializes the 16 views in chunks of `batch_view_num` on
+    one GPU (morphable_diffusion.py:723-735). On TPU the views are instead
+    sharded across chips: every per-view stage (noisy-view encoder,
+    unprojection, frustum resample + FrustumTV3DNet, the doubled-batch CFG
+    UNet, the DDIM update) is embarrassingly parallel over views, and the
+    ONLY cross-view coupling per step is the mean over views inside
+    SMPLFeatureExtractor (network.py:61-67) — a (B, N_verts, 16) psum that
+    XLA lowers to one small ICI all-reduce. See
+    SyncDDIMSampler.sample(view_mesh=...).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def view_sharding(mesh: Mesh, axis_name: str = "view") -> NamedSharding:
+    """Sharding for (B, N_views, ...) arrays: split the view axis."""
+    return NamedSharding(mesh, P(None, axis_name))

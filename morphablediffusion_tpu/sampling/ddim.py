@@ -42,15 +42,29 @@ class SyncDDIMSampler:
         sched = schedules.make_diffusion_schedule()
         self.ddim = schedules.make_ddim_schedule(sched, self.sample_steps, self.eta)
 
-    def denoise_latents(self, params, batch, prep, rng, cfg_scale):
-        """Run the full reverse process; returns final latents (B, N, h, w, 4)."""
+    def denoise_latents(self, params, batch, prep, rng, cfg_scale,
+                        view_sharding=None):
+        """Run the full reverse process; returns final latents (B, N, h, w, 4).
+
+        view_sharding: optional NamedSharding (e.g. P(None, "view")) pinning
+        the N-view axis across a device mesh. XLA's SPMD partitioner then
+        splits every per-view stage of the step across chips and inserts the
+        single small all-reduce the volume build needs (the mean over views
+        of per-vertex features) over ICI.
+        """
         cfg = self.model.cfg
         B = batch["input_image"].shape[0]
         N, h = cfg.view_num, cfg.latent_size
         ddim = self.ddim
 
+        constrain = (
+            (lambda a: jax.lax.with_sharding_constraint(a, view_sharding))
+            if view_sharding is not None
+            else (lambda a: a)
+        )
+
         rng, init_rng = jax.random.split(rng)
-        x = jax.random.normal(init_rng, (B, N, h, h, 4), jnp.float32)
+        x = constrain(jax.random.normal(init_rng, (B, N, h, h, 4), jnp.float32))
 
         def body(x, index):
             t = jnp.full((B,), ddim.timesteps[index], jnp.int32)
@@ -69,19 +83,27 @@ class SyncDDIMSampler:
             # eta-noise on every step except the last (denoise_apply_impl :695-697)
             noise = jax.random.normal(step_rng, x.shape, jnp.float32)
             noise = noise * (index != 0).astype(jnp.float32)
-            return schedules.ddim_step(x, eps, index, ddim, noise), None
+            return constrain(schedules.ddim_step(x, eps, index, ddim, noise)), None
 
         indices = jnp.arange(ddim.num_steps - 1, -1, -1)
         x, _ = jax.lax.scan(body, x, indices)
         return x
 
-    def sample(self, params, batch, rng, cfg_scale: float = 2.0):
+    def sample(self, params, batch, rng, cfg_scale: float = 2.0,
+               view_sharding=None):
         """Full pipeline: prepare -> scan denoise -> VAE decode.
 
         Returns (images (B, N, H, W, 3) in [-1, 1], latents).
         Wrap in jax.jit at the call site (see apps/ and bench.py).
+
+        Pass view_sharding (parallel.mesh.view_sharding(mesh)) to run the
+        whole denoising scan and the VAE decode view-parallel across a
+        device mesh — the TPU-native replacement for the reference's
+        single-GPU batch_view_num chunking.
         """
         prep = self.model.apply(params, batch, method="prepare_inference")
-        latents = self.denoise_latents(params, batch, prep, rng, cfg_scale)
+        latents = self.denoise_latents(
+            params, batch, prep, rng, cfg_scale, view_sharding=view_sharding
+        )
         images = self.model.apply(params, latents, method="decode_views")
         return images, latents
