@@ -163,11 +163,12 @@ class MorphableDiffusion(nn.Module):
     # ------------------------------------------------------------------ #
     # denoising
 
-    def apply_unet(self, x, t, clip_embed, volume_feats, x_concat):
+    def apply_unet(self, x, t, clip_embed, volume_feats, x_concat,
+                   remat: bool = False):
         """Single (conditional) UNet call with the zero123 concat un-scaling
         (UNetWrapper.forward :120-129)."""
         x_in = jnp.concatenate([x, x_concat / FIRST_STAGE_SCALE], axis=-1)
-        return self.unet(x_in, t, clip_embed, volume_feats)
+        return self.unet(x_in, t, clip_embed, volume_feats, remat=remat)
 
     def predict_eps_cfg(
         self, x_noisy, t, clip_embed, x_input_latent, v_embed, batch,
@@ -258,7 +259,10 @@ class MorphableDiffusion(nn.Module):
             }
             x_concat = x_concat * keep_cat[:, None, None, None]
 
-        eps = self.apply_unet(x_noisy_sel, t, clip_embed, volume_feats, x_concat)
+        eps = self.apply_unet(
+            x_noisy_sel, t, clip_embed, volume_feats, x_concat,
+            remat=cfg.unet.use_checkpoint,
+        )
         loss = jnp.mean((eps - noise_sel) ** 2)
         return loss
 

@@ -153,9 +153,19 @@ class DepthWiseUNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, context, source_dict: Dict[int, jnp.ndarray]):
+    def __call__(self, x, timesteps, context, source_dict: Dict[int, jnp.ndarray],
+                 remat: bool = False):
         """x: (B, H, W, in_ch); timesteps: (B,); context: (B, M, 768);
-        source_dict: {width: (B, D, width, width, C)} frustum volumes."""
+        source_dict: {width: (B, D, width, width, C)} frustum volumes.
+
+        remat=True rematerializes every block under autodiff (the reference's
+        `use_checkpoint` gradient checkpointing, diffusionmodules/util.py:
+        102-148): activations of ResBlock/SpatialTransformer/DepthTransformer
+        are recomputed in the backward pass instead of stored, trading ~1/3
+        extra forward FLOPs for the activation memory of the whole UNet —
+        the jax.checkpoint knob the training step uses to fit the reference's
+        batch-70 recipe per chip. Inference passes remat=False (no barriers
+        in the sampling graph)."""
         mc = self.model_channels
         emb = TimestepMLP(mc * 4, self.dtype, name="time_embed")(
             timestep_embedding(timesteps, mc).astype(self.dtype)
@@ -163,18 +173,22 @@ class DepthWiseUNet(nn.Module):
         x = x.astype(self.dtype)
         context = context.astype(self.dtype)
 
+        res_cls = nn.remat(ResBlock) if remat else ResBlock
+        st_cls = nn.remat(SpatialTransformer) if remat else SpatialTransformer
+        dt_cls = nn.remat(DepthTransformer) if remat else DepthTransformer
+
         def res(ch, name):
-            return ResBlock(ch, self.dtype, name=name)
+            return res_cls(ch, self.dtype, name=name)
 
         def st(ch, name):
-            return SpatialTransformer(
+            return st_cls(
                 self.num_heads, ch // self.num_heads,
                 self.transformer_depth, self.dtype, name=name,
             )
 
         def depth_tf(ctx_dim, name):
             # heads=4, dim_head=ctx//2 (attention.py:97-115)
-            return DepthTransformer(4, ctx_dim // 2, self.dtype, name=name)
+            return dt_cls(4, ctx_dim // 2, self.dtype, name=name)
 
         hs = []
         h = conv(mc, 3, dtype=self.dtype, name="input_conv")(x)

@@ -33,6 +33,10 @@ class UNetConfig:
     transformer_depth: int = 1
     context_dim: int = 768
     volume_dims: Tuple[int, ...] = (64, 128, 256, 512)
+    # gradient checkpointing of UNet blocks during training (the reference's
+    # use_checkpoint, configs/facescape.yaml unet_config); inference never
+    # rematerializes regardless.
+    use_checkpoint: bool = True
 
 
 @dataclasses.dataclass
