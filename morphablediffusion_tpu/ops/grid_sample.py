@@ -140,7 +140,11 @@ def grid_sample_3d(feat, grid):
         # ONE contiguous 8C-row gather (1 KB at C=64) instead of a strided
         # (2,2,2,C) slice of four 256 B runs. TPU gathers are transaction-
         # bound, so fewer/longer runs win; the table build is a single
-        # streaming concat (~8x volume bytes, amortized over P >> V points).
+        # streaming concat (~8x volume bytes), which only amortizes when
+        # P >= V — extending it to the per-vertex sampling path (P=5120,
+        # V=32768) was MEASURED SLOWER (4.42 s vs 4.25 s avatar): at sub-
+        # voxel point density the 8-slice concat dominates the saved
+        # transactions.
         corners = [
             feat[:, dz : dz + D - 1, dy : dy + H - 1, dx : dx + W - 1]
             for dz in (0, 1)

@@ -53,8 +53,31 @@ def test_grid_sample_2d_exact_corners(rng):
     np.testing.assert_allclose(out[0, 2], feat[0, 3, 0], rtol=1e-6)
 
 
+def test_grid_sample_3d_block_path_matches_torch(rng):
+    """Force the block-gather path (8P < D*H*W) and check PyTorch
+    grid_sample parity including out-of-range points."""
+    import torch
+    import torch.nn.functional as F
+
+    from morphablediffusion_tpu.ops.grid_sample import grid_sample_3d
+
+    B, D, H, W, C = 2, 8, 9, 10, 3
+    P = D * H * W - 1  # below the overlap-table threshold
+    feat = rng.normal(size=(B, D, H, W, C)).astype(np.float32)
+    grid = (rng.random((B, P, 3)) * 2.6 - 1.3).astype(np.float32)
+
+    out = np.asarray(grid_sample_3d(jnp.asarray(feat), jnp.asarray(grid)))
+
+    tfeat = torch.from_numpy(feat).permute(0, 4, 1, 2, 3)  # NCDHW
+    tgrid = torch.from_numpy(grid).reshape(B, P, 1, 1, 3)
+    ref = F.grid_sample(tfeat, tgrid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    ref = ref[:, :, :, 0, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_grid_sample_3d_overlap_path_matches_torch(rng):
-    """Force the overlapped-table gather path (P >= D*H*W) and check
+    """Force the overlapped-table gather path (8P >= D*H*W) and check
     PyTorch grid_sample parity including out-of-range points."""
     import torch
     import torch.nn.functional as F
