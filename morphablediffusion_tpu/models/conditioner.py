@@ -78,15 +78,21 @@ class SMPLFeatureExtractor(nn.Module):
     """Per-vertex linear + mean over views (network.py:7-72, specialized).
 
     features: (B, N_views, N_verts, C_in) -> (B, N_verts, C_out).
+
+    With pooled=True the input is already view-averaged (B, N_verts, C_in)
+    and only the linear is applied — mathematically identical because the
+    per-point Conv1d and the view mean commute (mean_v(W x_v + b) =
+    W mean_v(x_v) + b); the caller pools with a segment matmul to keep the
+    view axis on TPU lanes (see spatial_volume.construct_spatial_volume).
     """
 
     features: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pooled: bool = False):
         y = _dense(self.features, "conv0", self.dtype)(x)
-        return jnp.mean(y, axis=1)
+        return y if pooled else jnp.mean(y, axis=1)
 
 
 class FrustumTVBlock(nn.Module):

@@ -114,14 +114,30 @@ class SpatialVolumeNet(nn.Module):
         unproj = grid_sample_2d(feats, coords)  # (B*N, V, V, V, 16)
 
         # --- per-vertex features: sample each view's volume at the vertices ---
+        # Every view is sampled at the SAME vertex positions, so instead of
+        # N independent gathers from (V^3, 16) volumes (32 B rows — profiled
+        # 11.6 ms/step, transaction-bound), transpose to ONE view-major-
+        # channel volume (V^3, N*16) and gather each vertex once with 2x16x16B
+        # = 512 B rows: N x fewer points AND N x longer rows. The view mean
+        # then contracts the channel groups with a constant segment matmul
+        # (no lane-splitting reshape), and the extractor's linear commutes
+        # with the mean (see SMPLFeatureExtractor).
         vert_grid = (vertices / L).astype(unproj.dtype)  # (B, Nv, 3) in [-1,1]
         Nv = vertices.shape[1]
-        vert_grid_flat = jnp.broadcast_to(
-            vert_grid[:, None], (B, N, Nv, 3)
-        ).reshape(B * N, Nv, 3)
-        vert_feats = grid_sample_3d(unproj, vert_grid_flat)  # (B*N, Nv, 16)
-        vert_feats = vert_feats.reshape(B, N, Nv, -1)
-        smpl_feats = self.smpl_feature_extractor(vert_feats)  # (B, Nv, 16)
+        C = unproj.shape[-1]
+        vol_vm = jnp.moveaxis(
+            unproj.reshape(B, N, V * V * V, C), 1, 2
+        ).reshape(B, V, V, V, N * C)
+        vert_feats_vm = grid_sample_3d(vol_vm, vert_grid)  # (B, Nv, N*16)
+        # M[v*C + c, c] = 1/N: mean over the N view-channel groups
+        lane = jnp.arange(N * C)
+        M = ((lane[:, None] % C) == jnp.arange(C)[None, :]).astype(
+            vert_feats_vm.dtype
+        ) / N
+        vert_feats_mean = vert_feats_vm @ M  # (B, Nv, 16)
+        smpl_feats = self.smpl_feature_extractor(
+            vert_feats_mean, pooled=True
+        )  # (B, Nv, 16)
 
         # --- scatter through the mesh voxel net, query back at the grid ---
         vert_dhw = vertices[..., ::-1]  # (z, y, x)
