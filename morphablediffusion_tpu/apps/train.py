@@ -134,7 +134,7 @@ def main(argv=None):
         state = ckpt_mgr.restore(abstract)
         print(f"resumed from step {int(state.step)}")
 
-    step_fn = trainer.compile_train_step()
+    step_fn = trainer.compile_train_step(state.params)
     sample_fn = None
     prof_lo = prof_hi = -1
     if flags.profile_steps:

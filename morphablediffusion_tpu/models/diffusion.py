@@ -104,10 +104,31 @@ class MorphableDiffusion(nn.Module):
 
         Samples the VAE posterior when rng is given, else uses the mode
         (encode_first_stage, morphable_diffusion.py:460-466). Frozen.
+
+        Large flat batches (training encodes batch x 16 target views, the
+        reference's per-view Python loop :478) stream through the frozen
+        encoder in fixed chunks via `lax.map` — the encoder's transient
+        activations at 256^2 are ~60 MB/image, so encoding B*N=1120 images
+        at once would need ~10x HBM for zero speedup (the encoder is
+        compute-bound); chunking bounds the transient at chunk-size images
+        per iteration.
         """
         lead = images.shape[:-3]
         flat = images.reshape((-1,) + images.shape[-3:])
-        mean, logvar = self.first_stage.encode_moments(flat)
+        M = flat.shape[0]
+        chunk = self.cfg.vae_encode_chunk
+        # no chunking while variables are being created: module calls inside
+        # lax.map would initialize params inside the traced body (tracer leak)
+        if chunk and M > chunk and M % chunk == 0 and not self.is_initializing():
+            fs = self.first_stage
+            mean, logvar = jax.lax.map(
+                lambda c: fs.encode_moments(c),
+                flat.reshape((M // chunk, chunk) + flat.shape[1:]),
+            )
+            mean = mean.reshape((M,) + mean.shape[2:])
+            logvar = logvar.reshape((M,) + logvar.shape[2:])
+        else:
+            mean, logvar = self.first_stage.encode_moments(flat)
         if rng is not None:
             z = sample_diagonal_gaussian(rng, mean, logvar)
         else:

@@ -78,6 +78,9 @@ class ModelConfig:
     vae_num_res_blocks: int = 2
     # TPU-native knobs
     dtype: str = "bfloat16"
+    # chunk size for streaming large batches through the frozen VAE encoder
+    # (bounds transient HBM during training prepare; 0 = no chunking)
+    vae_encode_chunk: int = 16
     voxel_grid_shape: Tuple[int, int, int] = (48, 48, 48)
     coarse_voxel_size: float = 0.02
     max_vertices: int = 5120  # FLAME=5023; SMPL-X needs 10496; bilinear 26496
@@ -116,6 +119,18 @@ class TrainConfig:
     seed: int = 6033
     cond_lr_mult: float = 10.0  # conditioning nets at 10x base LR (:638-639)
     log_every: int = 20
+    # ZeRO-1: shard AdamW moments over the data axis (numerically identical;
+    # ~7 GB fp32 of moments for the trainable set split across the mesh)
+    shard_opt_state: bool = True
+    # store strictly-frozen params (VAE + CLIP, ~390M) in bf16 during
+    # training — halves their HBM and matches the bf16 serving cast; the
+    # compute path already runs them in bf16
+    frozen_params_bf16: bool = True
+    # micro-batch gradient accumulation (reference accumulate_grad_batches,
+    # facescape.yaml:66): optimizer steps every k micro-steps with averaged
+    # grads — the reference's global batch 140 on an 8-chip v5e slice is
+    # batch_size 4/chip x 8 chips x k=4 ~= 128, or 5/chip x 7 = 140 exactly
+    accumulate_grad_batches: int = 1
 
 
 @dataclasses.dataclass

@@ -64,7 +64,14 @@ def test_data_parallel_train_step_8dev():
     batch = tiny_batch(cfg, B=8)
     batch = shard_batch(batch, mesh)
     state = trainer.init_state(batch)
-    step = trainer.compile_train_step()
+    step = trainer.compile_train_step(state.params)
+
+    # ZeRO-1: at least one AdamW moment leaf must be sharded over the mesh
+    sharded = [
+        x for x in jax.tree.leaves(state.opt_state)
+        if hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+    ]
+    assert sharded, "opt state should be ZeRO-1 sharded on a multi-device mesh"
 
     p0 = float(jnp.sum(jnp.abs(
         state.params["params"]["unet"]["input_conv"]["kernel"]
@@ -109,3 +116,38 @@ def test_cast_params_for_serving():
     assert cast["params"]["unet"]["input_conv"]["kernel"].dtype == jnp.bfloat16
     assert cast["params"]["blk"]["GroupNorm_0"]["scale"].dtype == jnp.float32
     assert cast["params"]["out_norm"]["scale"].dtype == jnp.float32
+
+
+def test_grad_accumulation_and_frozen_bf16():
+    """k=2 accumulation: optimizer applies only every 2nd micro-step; frozen
+    VAE/CLIP leaves are stored bf16 (norm scales stay fp32)."""
+    cfg = tiny_config(view_num=2)
+    cfg.data.batch_size = 2
+    cfg.train.accumulate_grad_batches = 2
+    mesh = create_mesh(jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh)
+    batch = shard_batch(tiny_batch(cfg, B=2), mesh)
+    state = trainer.init_state(batch)
+
+    vae_kernel = state.params["params"]["first_stage"]["encoder"]["conv_in"]["kernel"]
+    assert vae_kernel.dtype == jnp.bfloat16
+    # norm params inside frozen modules stay fp32 (statistics path)
+    leaves = jax.tree_util.tree_leaves_with_path(
+        state.params["params"]["first_stage"]
+    )
+    norm_leaves = [
+        l for p, l in leaves if "norm" in jax.tree_util.keystr(p).lower()
+    ]
+    assert norm_leaves and all(l.dtype == jnp.float32 for l in norm_leaves)
+
+    step = trainer.compile_train_step(state.params)
+    p0 = np.asarray(state.params["params"]["unet"]["input_conv"]["kernel"]).copy()
+    state, m1 = step(state, batch)
+    p1 = np.asarray(state.params["params"]["unet"]["input_conv"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)  # accumulating: no update yet
+    state, m2 = step(state, batch)
+    state, m3 = step(state, batch)
+    state, m4 = step(state, batch)  # two full optimizer steps done
+    p4 = np.asarray(state.params["params"]["unet"]["input_conv"]["kernel"])
+    assert not np.array_equal(p0, p4)  # updates landed on the k boundaries
+    assert np.isfinite(float(m4["loss"]))
