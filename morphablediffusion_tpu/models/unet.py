@@ -48,43 +48,88 @@ class DepthAttention(nn.Module):
     """Per-pixel attention over the frustum depth axis (attention.py:8-47).
 
     x: (B, H, W, Cq); context: (B, D, H, W, Cc) -> (B, H, W, Cq).
+    Cq must equal num_heads*head_dim's source width in the shipped UNet
+    (DepthTransformer projects x to `inner` channels before attending).
+
+    setup-style so DepthTransformer's fully-fused context path can read
+    to_q/to_k/to_v weights directly (params created by the plain path at
+    init; names/shapes identical to the previous compact layout).
     """
 
     num_heads: int
     head_dim: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, context):
-        hn, hd = self.num_heads, self.head_dim
-        inner = hn * hd
-        B, H, W, Cq = x.shape
-
+    def setup(self):
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32
+        )
         # 1x1(x1) projections as Dense: nn.Conv with a unit kernel lowers to
         # a conv whose output layout forces a full relayout copy of the big
         # (B, D, H, W, C) k/v tensors before the attention kernel (~10 ms/
         # step profiled); a last-axis matmul keeps the standard layout.
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, name=name,
-        )
-        q = dense(inner, "to_q")(x)
-        k = dense(inner, "to_k")(context)
-        v = dense(inner, "to_v")(context)
+        self.to_q = dense(inner)
+        self.to_k = dense(inner)
+        self.to_v = dense(inner)
+        self.to_out = dense(inner)
 
-        out = depth_attention(q, k, v, hn)  # fused Pallas kernel on TPU
-        return dense(Cq, "to_out")(out)
+    def __call__(self, x, context):
+        q = self.to_q(x)
+        k = self.to_k(context)
+        v = self.to_v(context)
+        out = depth_attention(q, k, v, self.num_heads)  # fused Pallas kernel
+        return self.to_out(out)
 
 
 class DepthTransformer(nn.Module):
     """proj_in(2D) + proj_context(3D) -> DepthAttention -> zero-out conv + skip
-    (attention.py:50-84)."""
+    (attention.py:50-84).
+
+    out_channels: channel count of x (needed at setup time for the final
+    zero-init conv; equals the UNet block width at the injection site).
+    ctx_dim: frustum volume channels at this scale.
+    """
 
     num_heads: int
     head_dim: int
+    out_channels: int
+    ctx_dim: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        inner = self.num_heads * self.head_dim
+        self.proj_in_conv = conv(inner, 1, padding=0, dtype=self.dtype)
+        self.proj_in_norm = GroupNorm(8, act="silu")
+        self.proj_context_conv = nn.Dense(
+            self.ctx_dim, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        self.proj_context_norm = GroupNorm(8, act="relu")
+        self.depth_attn = DepthAttention(self.num_heads, self.head_dim,
+                                         self.dtype)
+        self.proj_out_norm0 = GroupNorm(8, act="relu")
+        self.proj_out_conv0 = conv(inner, 3, use_bias=False, dtype=self.dtype)
+        self.proj_out_norm1 = GroupNorm(8, act="relu")
+        self.proj_out_conv1 = conv(self.out_channels, 3, use_bias=False,
+                                   dtype=self.dtype, kernel_init=zeros_init)
+
+    def _fused_ok(self, context) -> bool:
+        """Fully-fused context path: proj+GN stats folded to an affine, one
+        Pallas kernel streams the raw frustum context ONCE (proj -> norm ->
+        k/v -> attention all in VMEM). Profiled ~13 ms/step at width 32 for
+        the unfused chain's five HBM passes over (B, 48, 32, 32, C)."""
+        import jax as _jax
+
+        from morphablediffusion_tpu.ops.depth_attention import pltpu
+
+        if pltpu is None or _jax.default_backend() not in ("tpu", "axon"):
+            return False
+        if self.is_initializing():
+            return False  # plain path creates all params
+        inner = self.num_heads * self.head_dim
+        return context.shape[-2] >= 8 and inner % 128 == 0
+
     def __call__(self, x, context):
         inner = self.num_heads * self.head_dim
         ctx_dim = context.shape[-1]
@@ -103,34 +148,44 @@ class DepthTransformer(nn.Module):
         cfg_doubled = B == 2 * Bc and B > Bc
         xc = x[:Bc] if cfg_doubled else x
 
-        h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in_conv")(xc)
-        h = GroupNorm(8, name="proj_in_norm", act="silu")(h)
+        h = self.proj_in_norm(self.proj_in_conv(xc))
 
-        proj_context = nn.Dense(ctx_dim, use_bias=False, dtype=self.dtype,
-                                param_dtype=jnp.float32,
-                                name="proj_context_conv")
-        ctx_norm = GroupNorm(8, name="proj_context_norm", act="relu")
-        attn = DepthAttention(self.num_heads, self.head_dim, self.dtype,
-                              name="depth_attn")
+        if self._fused_ok(context):
+            from morphablediffusion_tpu.ops.depth_attention import (
+                depth_attention_ctx,
+            )
 
-        c = ctx_norm(proj_context(context))
-        h = attn(h, c)
+            p = lambda m: m.variables["params"]
+            q = self.depth_attn.to_q(h)
+            out = depth_attention_ctx(
+                q, context,
+                p(self.proj_context_conv)["kernel"],
+                p(self.proj_context_norm)["scale"],
+                p(self.proj_context_norm)["bias"],
+                p(self.depth_attn.to_k)["kernel"],
+                p(self.depth_attn.to_v)["kernel"],
+                self.num_heads,
+            )
+            h = self.depth_attn.to_out(out)
+        else:
+            c = self.proj_context_norm(self.proj_context_conv(context))
+            h = self.depth_attn(h, c)
 
         if cfg_doubled:
-            c_u = ctx_norm(proj_context(
+            c_u = self.proj_context_norm(self.proj_context_conv(
                 jnp.zeros((1, 1, 1, 1, ctx_dim), context.dtype)
             ))
-            h_u = attn(jnp.zeros((1, 1, 1, inner), x.dtype), c_u)  # (1,1,1,inner)
+            h_u = self.depth_attn(
+                jnp.zeros((1, 1, 1, inner), x.dtype), c_u
+            )  # (1,1,1,inner)
             h = jnp.concatenate(
                 [h, jnp.broadcast_to(h_u, (B - Bc,) + h.shape[1:])], axis=0
             )
 
-        h = GroupNorm(8, name="proj_out_norm0", act="relu")(h)
-        h = conv(inner, 3, use_bias=False, dtype=self.dtype,
-                 name="proj_out_conv0")(h)
-        h = GroupNorm(8, name="proj_out_norm1", act="relu")(h)
-        h = conv(x_in.shape[-1], 3, use_bias=False, dtype=self.dtype,
-                 name="proj_out_conv1", kernel_init=zeros_init)(h)
+        h = self.proj_out_norm0(h)
+        h = self.proj_out_conv0(h)
+        h = self.proj_out_norm1(h)
+        h = self.proj_out_conv1(h)
         return h + x_in
 
 
@@ -186,9 +241,12 @@ class DepthWiseUNet(nn.Module):
                 self.transformer_depth, self.dtype, name=name,
             )
 
-        def depth_tf(ctx_dim, name):
+        def depth_tf(ctx_dim, out_ch, name):
             # heads=4, dim_head=ctx//2 (attention.py:97-115)
-            return dt_cls(4, ctx_dim // 2, self.dtype, name=name)
+            return dt_cls(
+                num_heads=4, head_dim=ctx_dim // 2, out_channels=out_ch,
+                ctx_dim=ctx_dim, dtype=self.dtype, name=name,
+            )
 
         hs = []
         h = conv(mc, 3, dtype=self.dtype, name="input_conv")(x)
@@ -217,7 +275,7 @@ class DepthWiseUNet(nn.Module):
         h = st(ch, "mid_attn")(h, context)
         h = res(ch, "mid_res1")(h, emb)
         d3 = self.volume_dims[3]
-        h = depth_tf(d3, "middle_conditions")(h, source_dict[h.shape[-2]])
+        h = depth_tf(d3, ch, "middle_conditions")(h, source_dict[h.shape[-2]])
 
         # decoder; DepthTransformers after output blocks 3..11
         # (attention.py:100 output_b2c)
@@ -237,7 +295,9 @@ class DepthWiseUNet(nn.Module):
                     ds //= 2
                 if block in out_cond_ctx:
                     cd = self.volume_dims[out_cond_ctx[block]]
-                    h = depth_tf(cd, f"out_{block}_cond")(h, source_dict[h.shape[-2]])
+                    h = depth_tf(cd, h.shape[-1], f"out_{block}_cond")(
+                        h, source_dict[h.shape[-2]]
+                    )
                 block += 1
 
         h = GroupNorm(32, name="out_norm", act="silu")(h)

@@ -134,3 +134,173 @@ def _bwd(num_heads, res, g):
 
 
 depth_attention.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Fused context branch: proj_context -> GroupNorm(relu) -> to_k/to_v ->
+# depth attention, without materializing ANY (B, D, H, W, C) intermediate.
+#
+# The profiler shows the DepthTransformer context chain at width 32 costing
+# ~13 ms/step: each of proj_context, the norm, and the k/v projections is a
+# separate ~300 MB HBM pass over the (16, 48, 32, 32, C) frustum volume, and
+# k/v alone materialize 400 MB. Three observations make one-pass fusion
+# possible:
+#   1. proj_context is a bias-free 1x1x1 Dense, so the GroupNorm statistics
+#      of its OUTPUT are computable from the INPUT's first/second moments:
+#      E[p] = E[x] @ Wp and E[p_f^2] = (Wp^T E[x x^T] Wp)_ff — one streaming
+#      read of ctx plus tiny (Cc, Cc) matmuls, no materialized projection.
+#   2. With stats in hand, norm+affine folds into per-(sample, channel)
+#      A, B2: y = relu(p * A + B2).
+#   3. The Pallas kernel then streams ctx ONCE per (b, h) grid cell and does
+#      proj -> affine+relu -> k/v -> depth attention entirely in VMEM.
+# --------------------------------------------------------------------------- #
+
+
+def _ctx_affine(ctx, Wp, gn_scale, gn_bias, num_groups: int, eps: float):
+    """Fold proj+GroupNorm into per-(B, Cc) affine A, B2 (fp32)."""
+    B = ctx.shape[0]
+    Cc = ctx.shape[-1]
+    cg = Cc // num_groups
+    flat = ctx.reshape(B, -1, Cc)
+    S = flat.shape[1]
+    xf = flat.astype(jnp.float32)
+    hp = lax.Precision.HIGHEST
+
+    wp = Wp.astype(jnp.float32)
+    ssum = jnp.sum(xf, axis=1)  # (B, Cc)
+    m2 = jnp.einsum("bsc,bse->bce", xf, xf, precision=hp)  # (B, Cc, Cc)
+    mean_p = jnp.dot(ssum, wp, precision=hp) / S  # (B, Cc)
+    # E[p_f^2] = diag(Wp^T M2 Wp) / S
+    e2 = jnp.einsum("cf,bce,ef->bf", wp, m2, wp, precision=hp) / S
+
+    lane = lax.broadcasted_iota(jnp.int32, (Cc, num_groups), 0)
+    grp = lax.broadcasted_iota(jnp.int32, (Cc, num_groups), 1)
+    seg = (lane // cg == grp).astype(jnp.float32)
+    mu_g = jnp.dot(mean_p, seg, precision=hp) / cg
+    e2_g = jnp.dot(e2, seg, precision=hp) / cg
+    var = jnp.maximum(e2_g - mu_g * mu_g, 0.0)
+    inv = lax.rsqrt(var + eps)  # (B, G)
+
+    inv_l = inv @ seg.T  # (B, Cc)
+    mu_l = mu_g @ seg.T
+    A = gn_scale.astype(jnp.float32)[None] * inv_l
+    B2 = gn_bias.astype(jnp.float32)[None] - mu_l * A
+    return A, B2
+
+
+def _ctx_reference(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
+    """Plain-XLA fused-chain reference (same math as the kernel)."""
+    B, D = ctx.shape[:2]
+    Cc = ctx.shape[-1]
+    p = jnp.dot(ctx.reshape(B, -1, Cc), Wp.astype(ctx.dtype))
+    y = jnp.maximum(
+        p.astype(jnp.float32) * A[:, None, :] + B2[:, None, :], 0.0
+    ).astype(ctx.dtype)
+    k = jnp.dot(y, Wk.astype(y.dtype)).reshape(ctx.shape[:-1] + (Wk.shape[-1],))
+    v = jnp.dot(y, Wv.astype(y.dtype)).reshape(ctx.shape[:-1] + (Wv.shape[-1],))
+    return _reference(q, k, v, num_heads)
+
+
+def _ctx_kernel(q_ref, ctx_ref, wp_ref, a_ref, b_ref, wk_ref, wv_ref, o_ref,
+                *, num_heads: int, scale: float):
+    q = q_ref[0, 0]          # (W, Ci)
+    ctx = ctx_ref[0, :, 0]   # (D, W, Cc)
+    D, W, Cc = ctx.shape
+    Ci = q.shape[-1]
+    hd = Ci // num_heads
+
+    b_idx = pl.program_id(0)
+    a = a_ref[pl.ds(b_idx, 1), :]  # (1, Cc)
+    b2 = b_ref[pl.ds(b_idx, 1), :]
+    p = jnp.dot(ctx.reshape(D * W, Cc), wp_ref[...],
+                preferred_element_type=jnp.float32)
+    y = jnp.maximum(p * a + b2, 0.0).astype(ctx.dtype)
+    k = jnp.dot(y, wk_ref[...], preferred_element_type=jnp.float32)
+    v = jnp.dot(y, wv_ref[...], preferred_element_type=jnp.float32)
+    k = k.astype(ctx.dtype).reshape(D, W, Ci)
+    v = v.astype(jnp.float32).reshape(D, W, Ci)
+
+    lane = lax.broadcasted_iota(jnp.int32, (Ci, num_heads), 0)
+    head = lax.broadcasted_iota(jnp.int32, (Ci, num_heads), 1)
+    seg = (lane // hd == head).astype(q.dtype)
+
+    pq = q[None, :, :] * k                                   # (D, W, Ci)
+    sim = jnp.dot(pq.reshape(D * W, Ci), seg,
+                  preferred_element_type=jnp.float32)        # (D*W, heads)
+    sim = sim.reshape(D, W, num_heads) * scale
+    m = jnp.max(sim, axis=0, keepdims=True)
+    e = jnp.exp(sim - m)
+    attn = e / jnp.sum(e, axis=0, keepdims=True)             # (D, W, heads)
+
+    attn_l = jnp.dot(
+        attn.reshape(D * W, num_heads).astype(q.dtype), seg.T,
+        preferred_element_type=jnp.float32,
+    ).reshape(D, W, Ci)
+    out = jnp.sum(attn_l * v, axis=0)                        # (W, Ci)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
+    B, H, W, Ci = q.shape
+    D = ctx.shape[1]
+    Cc = ctx.shape[-1]
+    hd = Ci // num_heads
+    dt = ctx.dtype
+    kernel = functools.partial(_ctx_kernel, num_heads=num_heads,
+                               scale=hd**-0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, W, Ci), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, D, 1, W, Cc), lambda b, h: (b, 0, h, 0, 0)),
+            pl.BlockSpec((Cc, Cc), lambda b, h: (0, 0)),
+            pl.BlockSpec((B, Cc), lambda b, h: (0, 0)),
+            pl.BlockSpec((B, Cc), lambda b, h: (0, 0)),
+            pl.BlockSpec((Cc, Ci), lambda b, h: (0, 0)),
+            pl.BlockSpec((Cc, Ci), lambda b, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, W, Ci), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Ci), q.dtype),
+    )(q, ctx, Wp.astype(dt), A, B2, Wk.astype(dt), Wv.astype(dt))
+
+
+def _ctx_full(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv, num_heads, num_groups,
+              eps, use_kernel):
+    A, B2 = _ctx_affine(ctx, Wp, gn_scale, gn_bias, num_groups, eps)
+    if use_kernel:
+        return _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads)
+    return _ctx_reference(q, ctx, Wp, A, B2, Wk, Wv, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def depth_attention_ctx(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv,
+                        num_heads: int, num_groups: int = 8,
+                        eps: float = 1e-5):
+    """Fused proj_context+GN(relu)+k/v+depth-attention.
+
+    q: (B, H, W, Ci) projected queries; ctx: (B, D, H, W, Cc) RAW frustum
+    context; Wp: (Cc, Cc) bias-free projection; gn_scale/gn_bias: (Cc,);
+    Wk/Wv: (Cc, Ci). Returns (B, H, W, Ci) pre-to_out attention output.
+    """
+    use_kernel = _use_pallas(q, ctx)
+    return _ctx_full(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv, num_heads,
+                     num_groups, eps, use_kernel)
+
+
+def _ctx_fwd(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv, num_heads, num_groups, eps):
+    out = depth_attention_ctx(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv,
+                              num_heads, num_groups, eps)
+    return out, (q, ctx, Wp, gn_scale, gn_bias, Wk, Wv)
+
+
+def _ctx_bwd(num_heads, num_groups, eps, res, g):
+    q, ctx, Wp, gn_scale, gn_bias, Wk, Wv = res
+    _, vjp = jax.vjp(
+        lambda *a: _ctx_full(*a, num_heads, num_groups, eps, False),
+        q, ctx, Wp, gn_scale, gn_bias, Wk, Wv,
+    )
+    return vjp(g)
+
+
+depth_attention_ctx.defvjp(_ctx_fwd, _ctx_bwd)

@@ -82,7 +82,7 @@ def test_cfg_doubled_batch_matches_zero_context(rng):
     x = _rand(rng, (2 * B, H, W, C))
     ctx = _rand(rng, (B, D, H, W, CTX))
 
-    mod = DepthTransformer(num_heads=2, head_dim=8)
+    mod = DepthTransformer(num_heads=2, head_dim=8, out_channels=C, ctx_dim=CTX)
     params = mod.init(jax.random.key(0), x[:B], ctx)
 
     # explicit: full doubled batch with zeroed unconditional context
@@ -92,3 +92,39 @@ def test_cfg_doubled_batch_matches_zero_context(rng):
     out = mod.apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ctx_chain_matches_module_chain(rng):
+    """depth_attention_ctx (stats folded to affine, fused chain) must match
+    proj_context -> GroupNorm(relu) -> to_k/to_v -> depth attention."""
+    from morphablediffusion_tpu.ops.depth_attention import _ctx_full, _reference
+    from morphablediffusion_tpu.ops.group_norm import group_norm
+
+    B, D, H, W, Cc = 2, 6, 4, 4, 16
+    heads, inner = 2, 16
+    q = _rand(rng, (B, H, W, inner))
+    ctx = _rand(rng, (B, D, H, W, Cc))
+    Wp = _rand(rng, (Cc, Cc)) * 0.3
+    scale = 1.0 + 0.1 * _rand(rng, (Cc,))
+    bias = 0.1 * _rand(rng, (Cc,))
+    Wk = _rand(rng, (Cc, inner)) * 0.3
+    Wv = _rand(rng, (Cc, inner)) * 0.3
+
+    p = jnp.einsum("bdhwc,ce->bdhwe", ctx, Wp)
+    y = group_norm(p, scale, bias, 8, 1e-5, "relu")
+    k = jnp.einsum("bdhwc,ce->bdhwe", y, Wk)
+    v = jnp.einsum("bdhwc,ce->bdhwe", y, Wv)
+    ref = _reference(q, k, v, heads)
+
+    out = _ctx_full(q, ctx, Wp, scale, bias, Wk, Wv, heads, 8, 1e-5, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # grads flow through the custom_vjp wrapper (stats path included)
+    from morphablediffusion_tpu.ops.depth_attention import depth_attention_ctx
+
+    f = lambda c: jnp.sum(
+        depth_attention_ctx(q, c, Wp, scale, bias, Wk, Wv, heads) ** 2
+    )
+    g = jax.grad(f)(ctx)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.sum(jnp.abs(g))) > 0
