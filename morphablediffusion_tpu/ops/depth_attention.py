@@ -203,41 +203,42 @@ def _ctx_reference(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
 
 def _ctx_kernel(q_ref, ctx_ref, wp_ref, a_ref, b_ref, wk_ref, wv_ref, o_ref,
                 *, num_heads: int, scale: float):
-    q = q_ref[0, 0]          # (W, Ci)
-    ctx = ctx_ref[0, :, 0]   # (D, W, Cc)
-    D, W, Cc = ctx.shape
+    q = q_ref[0].reshape(-1, q_ref.shape[-1])   # (hb*W, Ci)
+    ctx = ctx_ref[0]                            # (D, hb, W, Cc)
+    D, hb, W, Cc = ctx.shape
     Ci = q.shape[-1]
     hd = Ci // num_heads
+    S = hb * W
 
     b_idx = pl.program_id(0)
     a = a_ref[pl.ds(b_idx, 1), :]  # (1, Cc)
     b2 = b_ref[pl.ds(b_idx, 1), :]
-    p = jnp.dot(ctx.reshape(D * W, Cc), wp_ref[...],
+    p = jnp.dot(ctx.reshape(D * S, Cc), wp_ref[...],
                 preferred_element_type=jnp.float32)
     y = jnp.maximum(p * a + b2, 0.0).astype(ctx.dtype)
     k = jnp.dot(y, wk_ref[...], preferred_element_type=jnp.float32)
     v = jnp.dot(y, wv_ref[...], preferred_element_type=jnp.float32)
-    k = k.astype(ctx.dtype).reshape(D, W, Ci)
-    v = v.astype(jnp.float32).reshape(D, W, Ci)
+    k = k.astype(ctx.dtype).reshape(D, S, Ci)
+    v = v.astype(jnp.float32).reshape(D, S, Ci)
 
     lane = lax.broadcasted_iota(jnp.int32, (Ci, num_heads), 0)
     head = lax.broadcasted_iota(jnp.int32, (Ci, num_heads), 1)
     seg = (lane // hd == head).astype(q.dtype)
 
-    pq = q[None, :, :] * k                                   # (D, W, Ci)
-    sim = jnp.dot(pq.reshape(D * W, Ci), seg,
-                  preferred_element_type=jnp.float32)        # (D*W, heads)
-    sim = sim.reshape(D, W, num_heads) * scale
+    pq = q[None, :, :] * k                                   # (D, S, Ci)
+    sim = jnp.dot(pq.reshape(D * S, Ci), seg,
+                  preferred_element_type=jnp.float32)        # (D*S, heads)
+    sim = sim.reshape(D, S, num_heads) * scale
     m = jnp.max(sim, axis=0, keepdims=True)
     e = jnp.exp(sim - m)
-    attn = e / jnp.sum(e, axis=0, keepdims=True)             # (D, W, heads)
+    attn = e / jnp.sum(e, axis=0, keepdims=True)             # (D, S, heads)
 
     attn_l = jnp.dot(
-        attn.reshape(D * W, num_heads).astype(q.dtype), seg.T,
+        attn.reshape(D * S, num_heads).astype(q.dtype), seg.T,
         preferred_element_type=jnp.float32,
-    ).reshape(D, W, Ci)
-    out = jnp.sum(attn_l * v, axis=0)                        # (W, Ci)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    ).reshape(D, S, Ci)
+    out = jnp.sum(attn_l * v, axis=0)                        # (S, Ci)
+    o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
 def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
@@ -246,21 +247,28 @@ def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
     Cc = ctx.shape[-1]
     hd = Ci // num_heads
     dt = ctx.dtype
+    # block several image rows per grid cell: per-row matmuls have K=Cc<=128
+    # and leave the MXU underfed; hb=4 quadruples M at ~4x the (small) VMEM
+    hb = 1
+    for cand in (4, 2):
+        if H % cand == 0 and D * cand * W * max(Cc, Ci) * 6 * 4 < 12_000_000:
+            hb = cand
+            break
     kernel = functools.partial(_ctx_kernel, num_heads=num_heads,
                                scale=hd**-0.5)
     return pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B, H // hb),
         in_specs=[
-            pl.BlockSpec((1, 1, W, Ci), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, D, 1, W, Cc), lambda b, h: (b, 0, h, 0, 0)),
+            pl.BlockSpec((1, hb, W, Ci), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, D, hb, W, Cc), lambda b, h: (b, 0, h, 0, 0)),
             pl.BlockSpec((Cc, Cc), lambda b, h: (0, 0)),
             pl.BlockSpec((B, Cc), lambda b, h: (0, 0)),
             pl.BlockSpec((B, Cc), lambda b, h: (0, 0)),
             pl.BlockSpec((Cc, Ci), lambda b, h: (0, 0)),
             pl.BlockSpec((Cc, Ci), lambda b, h: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, W, Ci), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, hb, W, Ci), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Ci), q.dtype),
     )(q, ctx, Wp.astype(dt), A, B2, Wk.astype(dt), Wv.astype(dt))
 
