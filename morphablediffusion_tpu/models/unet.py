@@ -152,13 +152,15 @@ class DepthTransformer(nn.Module):
 
         if self._fused_ok(context):
             from morphablediffusion_tpu.ops.depth_attention import (
+                ctx_moments,
                 depth_attention_ctx,
             )
 
             p = lambda m: m.variables["params"]
             q = self.depth_attn.to_q(h)
+            mean_x, m2 = ctx_moments(context)  # CSE'd across same-width blocks
             out = depth_attention_ctx(
-                q, context,
+                q, context, mean_x, m2,
                 p(self.proj_context_conv)["kernel"],
                 p(self.proj_context_norm)["scale"],
                 p(self.proj_context_norm)["bias"],

@@ -156,22 +156,34 @@ depth_attention.defvjp(_fwd, _bwd)
 # --------------------------------------------------------------------------- #
 
 
-def _ctx_affine(ctx, Wp, gn_scale, gn_bias, num_groups: int, eps: float):
-    """Fold proj+GroupNorm into per-(B, Cc) affine A, B2 (fp32)."""
+def ctx_moments(ctx):
+    """Per-sample first/second moments of the context channels (fp32):
+    mean_x (B, Cc), m2 (B, Cc, Cc) = E[x x^T]. Computed OUTSIDE the fused
+    attention's custom_vjp so XLA CSE shares one computation between all
+    DepthTransformer blocks that consume the same per-width frustum tensor
+    (4 blocks at width 32 in the shipped UNet)."""
     B = ctx.shape[0]
     Cc = ctx.shape[-1]
-    cg = Cc // num_groups
     flat = ctx.reshape(B, -1, Cc)
     S = flat.shape[1]
     xf = flat.astype(jnp.float32)
     hp = lax.Precision.HIGHEST
+    mean_x = jnp.sum(xf, axis=1) / S
+    m2 = jnp.einsum("bsc,bse->bce", xf, xf, precision=hp) / S
+    return mean_x, m2
+
+
+def _ctx_affine(mean_x, m2, Wp, gn_scale, gn_bias, num_groups: int,
+                eps: float):
+    """Fold proj+GroupNorm into per-(B, Cc) affine A, B2 (fp32)."""
+    Cc = mean_x.shape[-1]
+    cg = Cc // num_groups
+    hp = lax.Precision.HIGHEST
 
     wp = Wp.astype(jnp.float32)
-    ssum = jnp.sum(xf, axis=1)  # (B, Cc)
-    m2 = jnp.einsum("bsc,bse->bce", xf, xf, precision=hp)  # (B, Cc, Cc)
-    mean_p = jnp.dot(ssum, wp, precision=hp) / S  # (B, Cc)
-    # E[p_f^2] = diag(Wp^T M2 Wp) / S
-    e2 = jnp.einsum("cf,bce,ef->bf", wp, m2, wp, precision=hp) / S
+    mean_p = jnp.dot(mean_x, wp, precision=hp)  # (B, Cc)
+    # E[p_f^2] = diag(Wp^T M2 Wp)
+    e2 = jnp.einsum("cf,bce,ef->bf", wp, m2, wp, precision=hp)
 
     lane = lax.broadcasted_iota(jnp.int32, (Cc, num_groups), 0)
     grp = lax.broadcasted_iota(jnp.int32, (Cc, num_groups), 1)
@@ -273,40 +285,42 @@ def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
     )(q, ctx, Wp.astype(dt), A, B2, Wk.astype(dt), Wv.astype(dt))
 
 
-def _ctx_full(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv, num_heads, num_groups,
-              eps, use_kernel):
-    A, B2 = _ctx_affine(ctx, Wp, gn_scale, gn_bias, num_groups, eps)
+def _ctx_full(q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv, num_heads,
+              num_groups, eps, use_kernel):
+    A, B2 = _ctx_affine(mean_x, m2, Wp, gn_scale, gn_bias, num_groups, eps)
     if use_kernel:
         return _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads)
     return _ctx_reference(q, ctx, Wp, A, B2, Wk, Wv, num_heads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def depth_attention_ctx(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def depth_attention_ctx(q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv,
                         num_heads: int, num_groups: int = 8,
                         eps: float = 1e-5):
     """Fused proj_context+GN(relu)+k/v+depth-attention.
 
     q: (B, H, W, Ci) projected queries; ctx: (B, D, H, W, Cc) RAW frustum
-    context; Wp: (Cc, Cc) bias-free projection; gn_scale/gn_bias: (Cc,);
-    Wk/Wv: (Cc, Ci). Returns (B, H, W, Ci) pre-to_out attention output.
+    context; (mean_x, m2): ctx_moments(ctx), hoisted so blocks sharing a
+    context CSE them; Wp: (Cc, Cc) bias-free projection; gn_scale/gn_bias:
+    (Cc,); Wk/Wv: (Cc, Ci). Returns (B, H, W, Ci) pre-to_out output.
     """
     use_kernel = _use_pallas(q, ctx)
-    return _ctx_full(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv, num_heads,
-                     num_groups, eps, use_kernel)
+    return _ctx_full(q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv,
+                     num_heads, num_groups, eps, use_kernel)
 
 
-def _ctx_fwd(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv, num_heads, num_groups, eps):
-    out = depth_attention_ctx(q, ctx, Wp, gn_scale, gn_bias, Wk, Wv,
-                              num_heads, num_groups, eps)
-    return out, (q, ctx, Wp, gn_scale, gn_bias, Wk, Wv)
+def _ctx_fwd(q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv, num_heads,
+             num_groups, eps):
+    out = depth_attention_ctx(q, ctx, mean_x, m2, Wp, gn_scale, gn_bias,
+                              Wk, Wv, num_heads, num_groups, eps)
+    return out, (q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv)
 
 
 def _ctx_bwd(num_heads, num_groups, eps, res, g):
-    q, ctx, Wp, gn_scale, gn_bias, Wk, Wv = res
+    q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv = res
     _, vjp = jax.vjp(
         lambda *a: _ctx_full(*a, num_heads, num_groups, eps, False),
-        q, ctx, Wp, gn_scale, gn_bias, Wk, Wv,
+        q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv,
     )
     return vjp(g)
 

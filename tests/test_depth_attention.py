@@ -116,15 +116,23 @@ def test_fused_ctx_chain_matches_module_chain(rng):
     v = jnp.einsum("bdhwc,ce->bdhwe", y, Wv)
     ref = _reference(q, k, v, heads)
 
-    out = _ctx_full(q, ctx, Wp, scale, bias, Wk, Wv, heads, 8, 1e-5, False)
+    from morphablediffusion_tpu.ops.depth_attention import ctx_moments
+
+    mean_x, m2 = ctx_moments(ctx)
+    out = _ctx_full(q, ctx, mean_x, m2, Wp, scale, bias, Wk, Wv, heads, 8,
+                    1e-5, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 
     # grads flow through the custom_vjp wrapper (stats path included)
     from morphablediffusion_tpu.ops.depth_attention import depth_attention_ctx
 
-    f = lambda c: jnp.sum(
-        depth_attention_ctx(q, c, Wp, scale, bias, Wk, Wv, heads) ** 2
-    )
+    def f(c):
+        mx, mm = ctx_moments(c)
+        return jnp.sum(
+            depth_attention_ctx(q, c, mx, mm, Wp, scale, bias, Wk, Wv,
+                                heads) ** 2
+        )
+
     g = jax.grad(f)(ctx)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.sum(jnp.abs(g))) > 0
