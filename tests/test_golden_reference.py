@@ -203,3 +203,199 @@ def test_vae_golden_vs_reference(ref_modules):
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(img), -1, 1), img_ref, rtol=5e-4, atol=5e-4
     )
+
+
+def test_conditioning_nets_golden_vs_reference(ref_modules):
+    """NoisyTargetViewEncoder, SMPLFeatureExtractor, FrustumTV3DNet parity
+    with imported weights (spconv stubbed — only the sparse classes the
+    reference never uses here live behind it)."""
+    import jax
+    import jax.numpy as jnp
+
+    if "spconv" not in sys.modules:
+        sp = types.ModuleType("spconv")
+        spp = types.ModuleType("spconv.pytorch")
+        spc = types.ModuleType("spconv.pytorch.conv")
+        spm = types.ModuleType("spconv.pytorch.modules")
+
+        class _Stub:  # imported but unused by the dense conditioning nets
+            def __init__(self, *a, **k):
+                raise RuntimeError("spconv stub")
+
+        spc.SparseConv3d = spc.SubMConv3d = _Stub
+        spm.SparseSequential = _Stub
+        sp.pytorch = spp
+        spp.conv, spp.modules = spc, spm
+        sys.modules.update({
+            "spconv": sp, "spconv.pytorch": spp,
+            "spconv.pytorch.conv": spc, "spconv.pytorch.modules": spm,
+        })
+    from ldm.models.diffusion.network import (
+        FrustumTV3DNet as RefFrustum,
+        NoisyTargetViewEncoder as RefEnc,
+        SMPLFeatureExtractor as RefSMPL,
+    )
+
+    from morphablediffusion_tpu.models.conditioner import (
+        FrustumTV3DNet,
+        NoisyTargetViewEncoder,
+        SMPLFeatureExtractor,
+    )
+    from morphablediffusion_tpu.utils.torch_import import import_state_dict
+
+    torch.manual_seed(2)
+    rng = np.random.default_rng(2)
+    BN, NV, TD, VD = 8, 4, 256, 4  # 2 samples x 4 views
+
+    ref_enc = RefEnc(TD, VD, run_dim=16, output_dim=16).eval()
+    ref_smpl = RefSMPL([16, 16], num_views=NV).eval()
+    ref_fr = RefFrustum(16, TD, VD, dims=(8, 16, 32, 64)).eval()
+
+    x = rng.normal(size=(BN, 4, 32, 32)).astype(np.float32)
+    t = rng.normal(size=(BN, TD)).astype(np.float32)
+    v = rng.normal(size=(BN, VD)).astype(np.float32)
+    verts_feat = rng.normal(size=(2, NV, 16, 40)).astype(np.float32)  # Nv=40
+    fx = rng.normal(size=(2, 16, 8, 16, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        enc_ref = ref_enc(*map(torch.from_numpy, (x, t, v))).numpy()
+        smpl_ref = ref_smpl(torch.from_numpy(verts_feat)).numpy()
+        fr_ref = {
+            k: o.numpy()
+            for k, o in ref_fr(torch.from_numpy(fx), torch.from_numpy(t[:2]),
+                               torch.from_numpy(v[:2])).items()
+        }
+
+    # ours (channels-last)
+    enc = NoisyTargetViewEncoder(run_dim=16, output_dim=16, dtype=jnp.float32)
+    smpl = SMPLFeatureExtractor(16, dtype=jnp.float32)
+    fr = FrustumTV3DNet(dims=(8, 16, 32, 64), dtype=jnp.float32)
+
+    x_j = jnp.asarray(np.moveaxis(x, 1, -1))
+    vf_j = jnp.asarray(np.moveaxis(verts_feat, 2, -1))  # (2, NV, 40, 16)
+    fx_j = jnp.asarray(np.moveaxis(fx, 1, -1))
+
+    p_enc = enc.init(jax.random.key(0), x_j, jnp.asarray(t), jnp.asarray(v))
+    p_smpl = smpl.init(jax.random.key(0), vf_j)
+    p_fr = fr.init(jax.random.key(0), fx_j, jnp.asarray(t[:2]),
+                   jnp.asarray(v[:2]))
+
+    wrapped = {"params": {"spatial_volume": {
+        "target_encoder": p_enc["params"],
+        "smpl_feature_extractor": p_smpl["params"],
+        "frustum_volume_feats": p_fr["params"],
+    }}}
+    sd = {}
+    for prefix, mod in [
+        ("spatial_volume.target_encoder.", ref_enc),
+        ("spatial_volume.smpl_feature_extractor.", ref_smpl),
+        ("spatial_volume.frustum_volume_feats.", ref_fr),
+    ]:
+        for k, w in mod.state_dict().items():
+            sd[prefix + k] = w.numpy()
+    imported, report = import_state_dict(sd, wrapped)
+    assert report["filled"] >= len(sd), (report["filled"], len(sd))
+    got = imported["params"]["spatial_volume"]
+
+    enc_out = enc.apply({"params": got["target_encoder"]}, x_j,
+                        jnp.asarray(t), jnp.asarray(v))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(enc_out), -1, 1), enc_ref, rtol=2e-4, atol=2e-4
+    )
+
+    smpl_out = smpl.apply({"params": got["smpl_feature_extractor"]}, vf_j)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(smpl_out), -1, 1), smpl_ref,
+        rtol=2e-4, atol=2e-4,
+    )
+
+    fr_out = fr.apply({"params": got["frustum_volume_feats"]}, fx_j,
+                      jnp.asarray(t[:2]), jnp.asarray(v[:2]))
+    for w_key, ref_val in fr_ref.items():
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(fr_out[w_key]), -1, 1), ref_val,
+            rtol=3e-4, atol=3e-4,
+        )
+
+
+def test_geometry_golden_vs_reference(ref_modules):
+    """create_target_volume / get_warp_coordinates parity with the reference
+    (kornia.create_meshgrid stubbed with its documented semantics: pixel-
+    center integer grid, (1, H, W, 2) xy order)."""
+    import jax.numpy as jnp
+
+    if "kornia" not in sys.modules:
+        ko = types.ModuleType("kornia")
+
+        def create_meshgrid(H, W, normalized_coordinates=True, device=None,
+                            dtype=None):
+            ys, xs = torch.meshgrid(
+                torch.arange(H, dtype=torch.float32),
+                torch.arange(W, dtype=torch.float32), indexing="ij",
+            )
+            if normalized_coordinates:
+                xs = 2 * xs / (W - 1) - 1
+                ys = 2 * ys / (H - 1) - 1
+            return torch.stack([xs, ys], dim=-1)[None]
+
+        ko.create_meshgrid = create_meshgrid
+        ko.utils = types.ModuleType("kornia.utils")
+        ko.utils.create_meshgrid = create_meshgrid
+        sys.modules["kornia"] = ko
+        sys.modules["kornia.utils"] = ko.utils
+    from ldm.models.diffusion.utils import (
+        create_target_volume as ref_ctv,
+        get_warp_coordinates as ref_warp,
+    )
+
+    from morphablediffusion_tpu.ops import geometry
+
+    rng = np.random.default_rng(3)
+    B = 3
+    poses = []
+    for i in range(B):
+        a = 0.4 * i
+        R = np.asarray([[np.cos(a), 0, -np.sin(a)], [0, 1, 0],
+                        [np.sin(a), 0, np.cos(a)]], np.float32)
+        tvec = np.asarray([0.05 * i, -0.02, 1.8 + 0.1 * i], np.float32)
+        poses.append(np.concatenate([R, tvec[:, None]], axis=1))
+    poses = np.stack(poses)
+    K = np.zeros((B, 4, 4), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 90.0
+    K[:, 0, 2] = K[:, 1, 2] = 16.0
+    K[:, 2, 2] = K[:, 3, 3] = 1.0
+    near = np.asarray([1.0, 1.1, 1.2], np.float32)
+    far = near + 1.7
+
+    for projection in ("perspective", "orthographic"):
+        Kp = K.copy()
+        if projection == "orthographic":
+            Kp[:, 0, 0] = Kp[:, 1, 1] = 1 / 0.6
+            Kp[:, 0, 2] = Kp[:, 1, 2] = 0.0
+        with torch.no_grad():
+            ref_xyz, ref_depth = ref_ctv(
+                8, 16, 64, torch.from_numpy(poses), torch.from_numpy(Kp),
+                torch.from_numpy(near).reshape(B, 1, 1, 1).expand(B, 1, 16, 16),
+                torch.from_numpy(far).reshape(B, 1, 1, 1).expand(B, 1, 16, 16),
+                projection,
+            )  # (B, 3, D, H*W), (B, 1, D, H*W)
+        xyz, depth = geometry.create_target_volume(
+            8, 16, 64, jnp.asarray(poses), jnp.asarray(Kp),
+            jnp.asarray(near), jnp.asarray(far), projection,
+        )  # (B, D, H, W, 3)
+        ref_xyz = ref_xyz.numpy().reshape(B, 3, 8, 16, 16)
+        got = np.moveaxis(np.asarray(xyz), -1, 1)
+        np.testing.assert_allclose(got, ref_xyz, rtol=2e-4, atol=2e-4)
+
+        # warp coordinates of a volume of world points into another view
+        vol = rng.normal(size=(B, 3, 4, 5, 6)).astype(np.float32) * 0.4
+        with torch.no_grad():
+            ref_w = ref_warp(torch.from_numpy(vol), 32, 64,
+                             torch.from_numpy(Kp), torch.from_numpy(poses),
+                             projection).numpy()
+        ours_w = geometry.get_warp_coordinates(
+            jnp.asarray(np.moveaxis(vol, 1, -1)), 32, 64,
+            jnp.asarray(Kp), jnp.asarray(poses), projection,
+        )
+        np.testing.assert_allclose(np.asarray(ours_w), ref_w,
+                                   rtol=2e-4, atol=2e-4)
