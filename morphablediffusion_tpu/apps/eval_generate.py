@@ -51,6 +51,18 @@ def main(argv=None):
     from morphablediffusion_tpu.utils.config import load_config
 
     cfg = load_config(flags.cfg)
+    if str(flags.ckpt).endswith((".ckpt", ".pt", ".pth")):
+        # checkpoints with trained spconv weights select the fine-grid
+        # conditioner (see generate_face.autoselect_fine_conditioner); the
+        # grid stays at the config's dataset-max extent — meshes vary per
+        # (subject, expression) and the jit graph must be shared
+        from morphablediffusion_tpu.apps.generate_face import (
+            autoselect_fine_conditioner,
+        )
+        from morphablediffusion_tpu.utils.torch_import import load_torch_state_dict
+
+        _params_cache["sd"] = load_torch_state_dict(flags.ckpt)
+        autoselect_fine_conditioner(cfg.model, _params_cache["sd"])
     model = MorphableDiffusion(cfg.model)
     N = cfg.model.view_num
     rng = random.Random(flags.seed)
@@ -145,7 +157,8 @@ def _ensure_params(model, batch, ckpt, _):
         from morphablediffusion_tpu.apps.generate_face import load_params
 
         one = {k: np.asarray(v[:1]) for k, v in batch.items()}
-        _params_cache["p"] = load_params(model, one, ckpt)
+        _params_cache["p"] = load_params(model, one, ckpt,
+                                         state_dict=_params_cache.pop("sd", None))
     return _params_cache["p"]
 
 

@@ -168,7 +168,6 @@ def main(argv=None):
     exp_name = Path(flags.exp_img).stem if flags.exp_img else "mesh"
 
     cfg = load_config(flags.cfg)
-    model = MorphableDiffusion(cfg.model)
 
     input_img = load_input_image(flags.input_img, cfg.model.image_size)
 
@@ -186,10 +185,21 @@ def main(argv=None):
     if not flags.no_mica_alignment:
         verts = align_mica_mesh(verts)
 
+    # checkpoints that ship trained spconv (`xyzc_net`) weights select the
+    # reference-exact fine conditioner, cropped to this mesh — the model is
+    # therefore constructed only after peeking at the checkpoint
+    state_dict = None
+    if str(flags.ckpt).endswith((".ckpt", ".pt", ".pth")):
+        from morphablediffusion_tpu.utils.torch_import import load_torch_state_dict
+
+        state_dict = load_torch_state_dict(flags.ckpt)
+        autoselect_fine_conditioner(cfg.model, state_dict, verts)
+    model = MorphableDiffusion(cfg.model)
+
     batch = build_inference_batch(input_img, Ks, RTs, verts, cfg.model.max_vertices)
     batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
-    params = load_params(model, batch, flags.ckpt)
+    params = load_params(model, batch, flags.ckpt, state_dict=state_dict)
     if not flags.f32_params:
         from morphablediffusion_tpu.utils.checkpoint import (
             cast_params_for_serving,
@@ -225,6 +235,35 @@ def main(argv=None):
         print(f"wrote NeuS2 data to {neus2_root}")
 
 
+def autoselect_fine_conditioner(model_cfg, state_dict, verts=None) -> bool:
+    """Switch `mesh_voxel_mode` to 'fine' when the checkpoint carries trained
+    spconv weights (`spatial_volume.xyzc_net.*` — present in every published
+    morphable-diffusion .ckpt) and the config left the conditioner at its
+    default. The coarse TPU-native redesign cannot consume those weights
+    (utils/config.py); the fine dense emulation reproduces the reference
+    field exactly (tests/test_mesh_voxel_fine.py).
+
+    With a known mesh the static fine grid is cropped to the mesh's own
+    `out_sh` (ceil(extent/voxel) rounded up to a multiple of 4 via (sh|3)+1,
+    facescape.py:170-175) — the scatter indices max out strictly below it,
+    so the crop is exact, and compute scales with the mesh, not the
+    dataset-max default."""
+    if model_cfg.mesh_voxel_mode != "coarse":
+        return False
+    if not any(k.startswith("spatial_volume.xyzc_net.") for k in state_dict):
+        return False
+    model_cfg.mesh_voxel_mode = "fine"
+    if verts is not None:
+        ext_dhw = (verts.max(axis=0) - verts.min(axis=0))[::-1]
+        sh = np.ceil(ext_dhw / model_cfg.fine_voxel_size).astype(np.int64)
+        model_cfg.fine_grid_shape = tuple(int(s | 3) + 1 for s in sh)
+    print(
+        "checkpoint ships xyzc_net weights: using the fine-grid conditioner "
+        f"(grid {model_cfg.fine_grid_shape} @ {model_cfg.fine_voxel_size} m)"
+    )
+    return True
+
+
 def _abstract_params(model, batch):
     import jax
 
@@ -238,7 +277,7 @@ def _abstract_params(model, batch):
     return rngs, b
 
 
-def load_params(model, batch, ckpt_path):
+def load_params(model, batch, ckpt_path, state_dict=None):
     """Load params from an Orbax run dir, a torch .ckpt (imported), or — for
     smoke runs — 'random' to initialize fresh weights."""
     import jax
@@ -250,7 +289,11 @@ def load_params(model, batch, ckpt_path):
     if str(ckpt_path).endswith((".ckpt", ".pt", ".pth")):
         from morphablediffusion_tpu.utils.torch_import import import_torch_checkpoint
 
-        return import_torch_checkpoint(ckpt_path, model.cfg)
+        # the importer copies checkpoint tensors into a freshly-initialized
+        # template tree (strict=False semantics: unmapped paths keep init)
+        like = jax.jit(init)(rngs, b)
+        return import_torch_checkpoint(ckpt_path, model.cfg, like=like,
+                                       state_dict=state_dict)
     from morphablediffusion_tpu.utils.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(ckpt_path)

@@ -70,6 +70,9 @@ class MorphableDiffusion(nn.Module):
             use_spatial_volume=self.cfg.use_spatial_volume,
             voxel_grid_shape=self.cfg.voxel_grid_shape,
             coarse_voxel_size=self.cfg.coarse_voxel_size,
+            mesh_voxel_mode=self.cfg.mesh_voxel_mode,
+            fine_grid_shape=self.cfg.fine_grid_shape,
+            fine_voxel_size=self.cfg.fine_voxel_size,
             volume_dims=self.cfg.unet.volume_dims,
             dtype=dtype,
         )
@@ -185,11 +188,13 @@ class MorphableDiffusion(nn.Module):
     # denoising
 
     def apply_unet(self, x, t, clip_embed, volume_feats, x_concat,
-                   remat: bool = False):
+                   remat: bool = False, cfg_doubled: bool = False):
         """Single (conditional) UNet call with the zero123 concat un-scaling
-        (UNetWrapper.forward :120-129)."""
+        (UNetWrapper.forward :120-129). cfg_doubled declares the CFG
+        doubled-batch contract (see DepthWiseUNet)."""
         x_in = jnp.concatenate([x, x_concat / FIRST_STAGE_SCALE], axis=-1)
-        return self.unet(x_in, t, clip_embed, volume_feats, remat=remat)
+        return self.unet(x_in, t, clip_embed, volume_feats, remat=remat,
+                         cfg_doubled=cfg_doubled)
 
     def predict_eps_cfg(
         self, x_noisy, t, clip_embed, x_input_latent, v_embed, batch,
@@ -223,7 +228,8 @@ class MorphableDiffusion(nn.Module):
         # unconditional source_dict (morphable_diffusion.py:138-140)
         # analytically instead of projecting a (B*N, 48, w, w, C) zero
         # tensor through the depth branch.
-        eps2 = self.apply_unet(x2, t2, clip2, volume_feats, concat2)
+        eps2 = self.apply_unet(x2, t2, clip2, volume_feats, concat2,
+                               cfg_doubled=True)
         s, s_uc = jnp.split(eps2, 2, axis=0)
         eps = s_uc + cfg_scale * (s - s_uc)
         return eps.reshape(B, N, h, w, C)

@@ -147,3 +147,175 @@ class MeshVoxelNet(nn.Module):
         # grid_sample expects (x, y, z) == (w, h, d) ordering, normalized
         q_xyz = q[..., ::-1] / scale * 2.0 - 1.0
         return grid_sample_3d(h, q_xyz.astype(h.dtype))
+
+
+class BNActive(nn.Module):
+    """BatchNorm1d-over-active-sites in its inference form.
+
+    The reference applies `nn.BatchNorm1d(C, eps=1e-3)` to the feature rows of
+    the active voxels only (network.py:105). At inference that is a frozen
+    per-channel affine from the checkpoint's running statistics; the dense
+    emulation applies it everywhere and re-masks (inactive sites are zeroed by
+    the caller, matching `.dense()`). mean/var are imported parameters
+    (`running_mean`/`running_var`), not trained."""
+
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (C,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (C,), jnp.float32)
+        k = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+        b = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon)).astype(
+            x.dtype
+        )
+        return x * k + b
+
+
+class FineSparseConvNet(nn.Module):
+    """Dense-masked emulation of the reference spconv `SparseConvNet`
+    (network.py:74-96) so published `xyzc_net.*` weights import directly.
+
+    spconv semantics -> dense equivalents (spconv's own unit tests define
+    sparse conv outputs by comparison against `nn.Conv3d` on densified
+    input):
+      * `SubMConv3d(k=3)`: dense conv re-masked to the INPUT active set
+        (submanifold convs never dilate activity; at active sites the dense
+        sum over zero-valued inactive neighbours is identical).
+      * `SparseConv3d(k=3, s=2, p=1)`: dense strided conv; the output active
+        set is the stride-2/3^3 dilation of the input's (max-pool of the
+        mask with the same window geometry).
+      * BatchNorm over active rows -> BNActive above, then re-mask (ReLU and
+        the affine produce nonzero values at inactive sites that `.dense()`
+        would report as 0).
+
+    Channel plan 16 -> 16 -> 32(s2) -> 32 -> 64(s2) -> 64, kernel 3,
+    bias-free; module names mirror the torch Sequential indices
+    (`conv0.0` -> conv0_0 etc.) so the importer mapping is mechanical.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, grid, occ, out_sh=None):
+        """grid: (B, Gd, Gh, Gw, 16); occ: (B, Gd, Gh, Gw, 1) {0,1};
+        out_sh: optional (B, 3) int per-sample dense extents of the
+        reference grid (multiples of 4). Returns
+        ((B, Gd//4, Gh//4, Gw//4, 64), mask at that scale).
+
+        Extent clipping: the reference's strided convs produce dense grids
+        of EXACTLY out_sh//2 then out_sh//4 cells; on our (larger) static
+        grid, a strided window reaching past the per-sample extent would
+        create a phantom active plane the reference clips away — and a
+        phantom plane feeds back into the next submanifold conv's sums. So
+        activity (and values) are re-clipped to out_sh//2 and out_sh//4
+        after each downsample."""
+
+        def clip(x, mask, extent):
+            if extent is None:
+                return x, mask
+            B = x.shape[0]
+            valid = jnp.ones((B,) + x.shape[1:4] + (1,), bool)
+            for ax in range(3):
+                size = x.shape[1 + ax]
+                iota = jnp.arange(size).reshape(
+                    (1,) + (1,) * ax + (size,) + (1,) * (2 - ax) + (1,)
+                )
+                valid = valid & (iota < extent[:, ax].reshape(B, 1, 1, 1, 1))
+            valid = valid.astype(mask.dtype)
+            return x * valid, mask * valid
+
+        def subm(x, mask, name_conv, name_bn):
+            y = conv3d(x.shape[-1], 3, use_bias=False, dtype=self.dtype,
+                       name=name_conv)(x)
+            return nn.relu(BNActive(name=name_bn)(y)) * mask
+
+        def down(x, mask, out_ch, extent, name_conv, name_bn):
+            y = conv3d(out_ch, 3, stride=2, padding=1, use_bias=False,
+                       dtype=self.dtype, name=name_conv)(x)
+            mask = nn.max_pool(mask, (3, 3, 3), strides=(2, 2, 2),
+                               padding=((1, 1),) * 3)
+            y, mask = clip(y, mask, extent)
+            return nn.relu(BNActive(name=name_bn)(y)) * mask, mask
+
+        h = grid.astype(self.dtype)
+        mask = occ.astype(self.dtype)
+        h = subm(h, mask, "conv0_0", "conv0_1")
+        h = subm(h, mask, "conv0_3", "conv0_4")
+        h, mask = down(h, mask, 32,
+                       None if out_sh is None else out_sh // 2,
+                       "down0_0", "down0_1")
+        h = subm(h, mask, "conv1_0", "conv1_1")
+        h = subm(h, mask, "conv1_3", "conv1_4")
+        h, mask = down(h, mask, 64,
+                       None if out_sh is None else out_sh // 4,
+                       "down1_0", "down1_1")
+        h = subm(h, mask, "conv2_0", "conv2_1")
+        h = subm(h, mask, "conv2_3", "conv2_4")
+        h = subm(h, mask, "conv2_6", "conv2_7")
+        return h, mask
+
+
+class FineMeshVoxelNet(nn.Module):
+    """Reference-exact mesh conditioner: scatter vertex features onto the
+    0.005 m fine grid, run the (dense-emulated) SparseConvNet, query the
+    resulting 64-ch coarse field with the reference's own coordinate
+    normalization (morphable_diffusion.py:234-255).
+
+    The grid is static (`grid_shape`, multiples of 4; inference CLIs crop it
+    to the actual mesh's `out_sh`); the per-sample `out_sh` of the reference
+    batch dict is recomputed in-graph from the masked vertex bounds
+    (facescape.py:170-175) and only enters coordinate arithmetic, never
+    shapes. Queries are normalized by out_sh exactly as the reference does
+    (`dhw / out_sh * 2 - 1` then align_corners over the out_sh//4 dense
+    grid), so imported checkpoints reproduce the reference field bit-for-
+    purpose. Inference-oriented: BatchNorm runs in its frozen
+    (running-stats) form — the reference trains xyzc_net, but every
+    published checkpoint ships trained stats, and training from scratch on
+    TPU uses the coarse `MeshVoxelNet` (see module docstring)."""
+
+    grid_shape: Tuple[int, int, int] = (128, 128, 128)
+    voxel_size: float = 0.005
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vert_features, vert_dhw, min_dhw, vert_mask, query_dhw):
+        """Same contract as MeshVoxelNet.__call__."""
+        B = vert_features.shape[0]
+        Gd, Gh, Gw = self.grid_shape
+        rel = vert_dhw - min_dhw[:, None, :]
+        idx = jnp.round(rel / self.voxel_size).astype(jnp.int32)
+        grid, occ = jax.vmap(
+            lambda f, i, m: scatter_mean_voxels(f, i, m, self.grid_shape)
+        )(vert_features.astype(self.dtype), idx, vert_mask)
+
+        # per-sample out_sh (facescape.py:170-175): ceil(extent/voxel),
+        # rounded up to the next multiple of 4 via (sh | 3) + 1
+        big = jnp.asarray(1e9, vert_dhw.dtype)
+        max_dhw = jnp.max(
+            jnp.where(vert_mask[..., None] > 0, vert_dhw, -big), axis=1
+        )
+        out_sh = jnp.ceil((max_dhw - min_dhw) / self.voxel_size).astype(
+            jnp.int32
+        )
+        out_sh = jnp.bitwise_or(out_sh, 3) + 1  # (B, 3)
+
+        vol, _ = FineSparseConvNet(dtype=self.dtype, name="net")(
+            grid, occ, out_sh
+        )
+
+        lead = (B,) + (1,) * (query_dhw.ndim - 2) + (3,)
+        f = (query_dhw - min_dhw.reshape(lead)) / self.voxel_size
+        # reference: g = f/out_sh*2-1, align_corners over the out_sh//4 grid
+        # -> dense pixel p = f/out_sh * (out_sh//4 - 1); renormalize p for
+        # our static coarse extent
+        coarse = (out_sh // 4).astype(f.dtype).reshape(lead)
+        p = f / out_sh.astype(f.dtype).reshape(lead) * (coarse - 1.0)
+        static_c = jnp.asarray(
+            [Gw // 4 - 1, Gh // 4 - 1, Gd // 4 - 1], f.dtype
+        )
+        q_xyz = p[..., ::-1] / static_c * 2.0 - 1.0
+        return grid_sample_3d(vol, q_xyz.astype(vol.dtype))

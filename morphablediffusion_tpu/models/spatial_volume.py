@@ -34,7 +34,7 @@ from morphablediffusion_tpu.models.conditioner import (
     SMPLFeatureExtractor,
     SpatialTime3DNet,
 )
-from morphablediffusion_tpu.models.mesh_voxel import MeshVoxelNet
+from morphablediffusion_tpu.models.mesh_voxel import FineMeshVoxelNet, MeshVoxelNet
 from morphablediffusion_tpu.ops import geometry
 from morphablediffusion_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
 
@@ -59,6 +59,9 @@ class SpatialVolumeNet(nn.Module):
     use_spatial_volume: bool = False
     voxel_grid_shape: Tuple[int, int, int] = (48, 48, 48)
     coarse_voxel_size: float = 0.02
+    mesh_voxel_mode: str = "coarse"  # coarse | fine (see utils/config.py)
+    fine_grid_shape: Tuple[int, int, int] = (128, 144, 128)
+    fine_voxel_size: float = 0.005
     volume_dims: Tuple[int, ...] = (64, 128, 256, 512)
     dtype: Dtype = jnp.float32
 
@@ -67,11 +70,18 @@ class SpatialVolumeNet(nn.Module):
             run_dim=16, output_dim=16, dtype=self.dtype
         )
         self.smpl_feature_extractor = SMPLFeatureExtractor(16, dtype=self.dtype)
-        self.mesh_voxel = MeshVoxelNet(
-            grid_shape=self.voxel_grid_shape,
-            voxel_size=self.coarse_voxel_size,
-            dtype=self.dtype,
-        )
+        if self.mesh_voxel_mode == "fine":
+            self.mesh_voxel = FineMeshVoxelNet(
+                grid_shape=self.fine_grid_shape,
+                voxel_size=self.fine_voxel_size,
+                dtype=self.dtype,
+            )
+        else:
+            self.mesh_voxel = MeshVoxelNet(
+                grid_shape=self.voxel_grid_shape,
+                voxel_size=self.coarse_voxel_size,
+                dtype=self.dtype,
+            )
         self.frustum_volume_feats = FrustumTV3DNet(
             dims=self.volume_dims, dtype=self.dtype
         )

@@ -75,6 +75,14 @@ class DepthAttention(nn.Module):
         self.to_out = dense(inner)
 
     def __call__(self, x, context):
+        inner = self.num_heads * self.head_dim
+        # narrowed contract vs the reference: to_out projects to `inner`
+        # (not the input width), identical in the shipped UNet where the
+        # DepthTransformer pre-projects x to `inner` — make that explicit.
+        assert x.shape[-1] == inner, (
+            f"DepthAttention expects pre-projected input of width {inner}, "
+            f"got {x.shape[-1]}"
+        )
         q = self.to_q(x)
         k = self.to_k(context)
         v = self.to_v(context)
@@ -130,7 +138,7 @@ class DepthTransformer(nn.Module):
         inner = self.num_heads * self.head_dim
         return context.shape[-2] >= 8 and inner % 128 == 0
 
-    def __call__(self, x, context):
+    def __call__(self, x, context, cfg_doubled: bool = False):
         inner = self.num_heads * self.head_dim
         ctx_dim = context.shape[-1]
         x_in = x
@@ -145,7 +153,18 @@ class DepthTransformer(nn.Module):
         # (param-shared) submodules on a single zero context of depth 1 and
         # broadcasting — skipping the (B, 48, w, w, C) projection/attention
         # work for the unconditional half (~10 ms/step at sampling).
-        cfg_doubled = B == 2 * Bc and B > Bc
+        # `cfg_doubled` is an EXPLICIT caller contract (threaded from
+        # predict_eps_cfg), not a shape heuristic: a half-batch context
+        # without it is an error, never silent unconditional semantics.
+        if cfg_doubled:
+            assert B == 2 * Bc, (
+                f"cfg_doubled expects batch {2 * Bc} (2x context), got {B}"
+            )
+        else:
+            assert B == Bc, (
+                f"batch mismatch: x {B} vs context {Bc} (pass cfg_doubled=True "
+                "for the CFG doubled-batch path)"
+            )
         xc = x[:Bc] if cfg_doubled else x
 
         h = self.proj_in_norm(self.proj_in_conv(xc))
@@ -211,9 +230,13 @@ class DepthWiseUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, source_dict: Dict[int, jnp.ndarray],
-                 remat: bool = False):
+                 remat: bool = False, cfg_doubled: bool = False):
         """x: (B, H, W, in_ch); timesteps: (B,); context: (B, M, 768);
         source_dict: {width: (B, D, width, width, C)} frustum volumes.
+        cfg_doubled=True declares the CFG doubled-batch contract: x/timesteps/
+        context carry 2x the source_dict batch (conditional then
+        unconditional halves); the DepthTransformers synthesize the
+        unconditional zero-context half analytically.
 
         remat=True rematerializes every block under autodiff (the reference's
         `use_checkpoint` gradient checkpointing, diffusionmodules/util.py:
@@ -232,7 +255,12 @@ class DepthWiseUNet(nn.Module):
 
         res_cls = nn.remat(ResBlock) if remat else ResBlock
         st_cls = nn.remat(SpatialTransformer) if remat else SpatialTransformer
-        dt_cls = nn.remat(DepthTransformer) if remat else DepthTransformer
+        # cfg_doubled (argnum 3; 0 is the module) is Python control flow ->
+        # static under remat
+        dt_cls = (
+            nn.remat(DepthTransformer, static_argnums=(3,))
+            if remat else DepthTransformer
+        )
 
         def res(ch, name):
             return res_cls(ch, self.dtype, name=name)
@@ -277,7 +305,9 @@ class DepthWiseUNet(nn.Module):
         h = st(ch, "mid_attn")(h, context)
         h = res(ch, "mid_res1")(h, emb)
         d3 = self.volume_dims[3]
-        h = depth_tf(d3, ch, "middle_conditions")(h, source_dict[h.shape[-2]])
+        h = depth_tf(d3, ch, "middle_conditions")(
+            h, source_dict[h.shape[-2]], cfg_doubled
+        )
 
         # decoder; DepthTransformers after output blocks 3..11
         # (attention.py:100 output_b2c)
@@ -298,7 +328,7 @@ class DepthWiseUNet(nn.Module):
                 if block in out_cond_ctx:
                     cd = self.volume_dims[out_cond_ctx[block]]
                     h = depth_tf(cd, h.shape[-1], f"out_{block}_cond")(
-                        h, source_dict[h.shape[-2]]
+                        h, source_dict[h.shape[-2]], cfg_doubled
                     )
                 block += 1
 

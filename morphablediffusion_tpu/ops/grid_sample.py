@@ -122,9 +122,22 @@ def grid_sample_3d(feat, grid):
     out_shape = grid.shape[:-1] + (C,)
     g = grid.reshape(B, -1, 3)
 
+    # coordinates are defined by the ORIGINAL extents (align_corners over
+    # the true volume) before any degenerate-dim padding below
     ix = _unnormalize(g[..., 0], W)
     iy = _unnormalize(g[..., 1], H)
     iz = _unnormalize(g[..., 2], D)
+
+    if min(D, H, W) < 2:
+        # degenerate volumes (any spatial extent 1): zero-pad that axis to 2
+        # so the fixed (2,2,2) footprint exists. The extra tap sits at index
+        # 1 where the hat weight max(0, 1-|coord-1|) is 0 for the only legal
+        # coordinate (0), so the padding never contributes.
+        feat = jnp.pad(
+            feat,
+            [(0, 0)] + [(0, max(0, 2 - s)) for s in (D, H, W)] + [(0, 0)],
+        )
+        B, D, H, W, C = feat.shape
 
     # block starts, clamped so the (2,2,2) footprint is always in-bounds
     sx = jnp.clip(jnp.floor(ix), 0, max(W - 2, 0)).astype(jnp.int32)

@@ -83,6 +83,18 @@ class ModelConfig:
     vae_encode_chunk: int = 16
     voxel_grid_shape: Tuple[int, int, int] = (48, 48, 48)
     coarse_voxel_size: float = 0.02
+    # mesh conditioner (spconv replacement) mode:
+    #   'coarse' — TPU-native 0.02 m dense redesign (models/mesh_voxel.py
+    #              MeshVoxelNet); trains from scratch, cheap enough for the
+    #              batch-70 recipe. Published xyzc_net weights do NOT apply.
+    #   'fine'   — reference-exact dense emulation of the spconv SparseConvNet
+    #              at 0.005 m (FineMeshVoxelNet); consumes published
+    #              `spatial_volume.xyzc_net.*` checkpoints. Inference CLIs
+    #              auto-select it for torch .ckpt weights and crop
+    #              fine_grid_shape to the actual mesh.
+    mesh_voxel_mode: str = "coarse"
+    fine_grid_shape: Tuple[int, int, int] = (128, 144, 128)
+    fine_voxel_size: float = 0.005
     max_vertices: int = 5120  # FLAME=5023; SMPL-X needs 10496; bilinear 26496
     unet: UNetConfig = dataclasses.field(default_factory=UNetConfig)
     clip: CLIPConfig = dataclasses.field(default_factory=CLIPConfig)
@@ -97,11 +109,17 @@ class DataConfig:
     dataset: str = "facescape"  # facescape | thuman
     data_dir: str = ""
     smplx_dir: str = ""
+    flame_assets_dir: str = ""  # tracked-FLAME meshes root (topology 'flame')
     mesh_topology: str = "flame"  # flame | bilinear (facescape.yaml:48)
     shuffled_expression: bool = True
     batch_size: int = 70  # per host, matching reference per-GPU batch
     num_workers: int = 4
     seed: int = 0
+    # optional explicit uid lists ("subject/expression"); empty = the
+    # reference train/val split tables. Used for subset debugging and the
+    # CLI smoke tests.
+    uids: Tuple[str, ...] = ()
+    val_uids: Tuple[str, ...] = ()
 
 
 @dataclasses.dataclass
@@ -156,6 +174,7 @@ def _apply(dc, d: dict):
 _THUMAN_DEFAULTS = dict(
     projection="orthographic",
     voxel_grid_shape=(80, 48, 80),
+    fine_grid_shape=(256, 144, 256),  # SMPL-X at 0.005 m (SURVEY hard parts)
     max_vertices=10496,
 )
 

@@ -10,9 +10,12 @@ checkpoints (torch `state_dict` naming) for every ported submodule:
   * conditioning nets (spatial_volume.target_encoder/.smpl_feature_extractor/
                        .frustum_volume_feats.*)
 
-NOT mapped: `spatial_volume.xyzc_net.*` — the reference's spconv sparse CNN
-was redesigned as a dense coarse-grid CNN (models/mesh_voxel.py); its weights
-stay at initialization and need a brief finetune for full parity.
+`spatial_volume.xyzc_net.*` (the reference's spconv sparse CNN) is mapped
+when the target model uses the fine-grid conditioner
+(`mesh_voxel_mode: fine`, models/mesh_voxel.py FineMeshVoxelNet) — conv
+kernels, BN affine AND BN running stats. In the default coarse mode those
+weights do not apply (dense coarse-grid redesign) and are excluded from the
+unused-key report as a documented drop.
 
 Checkpoint surgery parity: the 4->8 input-channel zero-padding of
 `input_blocks.0.0.weight` when importing plain SD weights
@@ -41,6 +44,7 @@ CONVT3 = "convt3"
 LINEAR = "linear"  # also conv1d/1x1 used as dense
 NORM = "norm"
 DIRECT = "direct"
+SPCONV = "spconv"  # spconv 3D kernels (layout sniffed, see _convert)
 
 
 def _convert(kind: str, name: str, w: np.ndarray) -> np.ndarray:
@@ -56,10 +60,86 @@ def _convert(kind: str, name: str, w: np.ndarray) -> np.ndarray:
     if kind == CONVT3:
         w = w.transpose(2, 3, 4, 0, 1)  # (kd,kh,kw,I,O)
         return w[::-1, ::-1, ::-1].copy()
+    if kind == SPCONV:
+        # spconv stores 3D kernels as KRSC (O, kd, kh, kw, I) in 2.x — the
+        # version the published checkpoints were written with (spconv-cu113)
+        # — or spatial-first (kd, kh, kw, I, O) in 1.x. Sniff by where the
+        # 3^3 spatial dims sit; both convert to flax (kd, kh, kw, I, O).
+        if w.ndim == 5 and w.shape[:3] == (3, 3, 3):
+            return w
+        if w.ndim == 5 and w.shape[1:4] == (3, 3, 3):
+            return w.transpose(1, 2, 3, 4, 0)
+        raise ValueError(f"unrecognized spconv kernel layout {w.shape}")
     if kind == LINEAR:
         w = w.reshape(w.shape[0], -1)  # squeeze conv1d/1x1 spatial dims
         return w.transpose(1, 0)
     raise ValueError(kind)
+
+
+def _deconvert(kind: str, name: str, w: np.ndarray) -> np.ndarray:
+    """Inverse of `_convert`: flax layout -> torch state_dict layout.
+
+    LINEAR caveat: torch keys that are Conv1d/1x1-Conv2d used as dense
+    export as plain (O, I) matrices (the importer re-flattens them, so
+    export->import round-trips exactly; loading into reference *torch*
+    modules may need a trailing-dims reshape for those few keys)."""
+    w = np.asarray(w, dtype=np.float32)
+    if name == "bias" or kind in (DIRECT, NORM):
+        return w
+    if kind == CONV2:
+        return w.transpose(3, 2, 0, 1)
+    if kind == CONV3:
+        return w.transpose(4, 3, 0, 1, 2)
+    if kind == CONVT3:
+        w = w[::-1, ::-1, ::-1]
+        return w.transpose(3, 4, 0, 1, 2).copy()  # (I, O, kd, kh, kw)
+    if kind == SPCONV:
+        return w.transpose(4, 0, 1, 2, 3)  # spconv-2.x KRSC (O,kd,kh,kw,I)
+    if kind == LINEAR:
+        return w.transpose(1, 0)
+    raise ValueError(kind)
+
+
+def export_state_dict(params, clip_layers: int = 24) -> Dict[str, np.ndarray]:
+    """Our param tree -> reference-naming torch state_dict (importer inverse).
+
+    Round-trips bit-exactly through `import_state_dict` (tested); lets TPU-
+    trained weights flow back into the reference torch ecosystem and lets the
+    real-weights bench/device runs build flagship-width checkpoints without
+    the published files."""
+    import jax
+    from flax.core import unfreeze
+
+    tree = unfreeze(jax.tree.map(np.asarray, params))
+    inner = tree.get("params", tree)
+
+    mapping = full_mapping(clip_layers)
+    sv = inner.get("spatial_volume", {})
+    if "net" in sv.get("mesh_voxel", {}):
+        mapping = mapping + xyzc_mapping()
+
+    out = {}
+    for tkey, opath, kind in mapping:
+        node = inner
+        for part in opath.split("/"):
+            if not isinstance(node, dict) or part not in node:
+                node = None
+                break
+            node = node[part]
+        if node is None:
+            continue
+        out[tkey] = _deconvert(kind, opath.rsplit("/", 1)[-1], node)
+    return out
+
+
+def export_torch_checkpoint(params, path: str, model_cfg) -> int:
+    """Save params as a reference-style torch .ckpt; returns #tensors."""
+    import torch
+
+    sd = export_state_dict(params, clip_layers=model_cfg.clip.layers)
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}}, path)
+    return len(sd)
 
 
 def _norm(tkey: str, our: str) -> List[Tuple[str, str, str]]:
@@ -315,6 +395,30 @@ def conditioning_mapping() -> List[Tuple[str, str, str]]:
     return m
 
 
+def xyzc_mapping() -> List[Tuple[str, str, str]]:
+    """Reference spconv SparseConvNet (network.py:74-96) -> FineMeshVoxelNet.
+    Torch keys follow the SparseSequential indices (conv at 0/3/6, BN right
+    after each); BN running stats import as FROZEN mean/var params."""
+    t0 = "spatial_volume.xyzc_net"
+    o0 = "spatial_volume/mesh_voxel/net"
+    m = []
+    for blk, idxs in [("conv0", (0, 3)), ("down0", (0,)), ("conv1", (0, 3)),
+                      ("down1", (0,)), ("conv2", (0, 3, 6))]:
+        for i in idxs:
+            m.append((f"{t0}.{blk}.{i}.weight", f"{o0}/{blk}_{i}/kernel",
+                      SPCONV))
+            bn = i + 1
+            m += [
+                (f"{t0}.{blk}.{bn}.weight", f"{o0}/{blk}_{bn}/scale", NORM),
+                (f"{t0}.{blk}.{bn}.bias", f"{o0}/{blk}_{bn}/bias", NORM),
+                (f"{t0}.{blk}.{bn}.running_mean", f"{o0}/{blk}_{bn}/mean",
+                 DIRECT),
+                (f"{t0}.{blk}.{bn}.running_var", f"{o0}/{blk}_{bn}/var",
+                 DIRECT),
+            ]
+    return m
+
+
 def full_mapping(clip_layers: int = 24) -> List[Tuple[str, str, str]]:
     return (
         vae_mapping()
@@ -370,8 +474,13 @@ def import_state_dict(state_dict: Dict[str, np.ndarray], like, clip_layers: int 
             state_dict = dict(state_dict)
             state_dict[key] = np.concatenate([w, pad], axis=1)
 
+    mapping = full_mapping(clip_layers)
+    sv = inner.get("spatial_volume", {})
+    if "net" in sv.get("mesh_voxel", {}):  # fine-grid conditioner present
+        mapping = mapping + xyzc_mapping()
+
     used, missing_model, filled = set(), [], 0
-    for tkey, opath, kind in full_mapping(clip_layers):
+    for tkey, opath, kind in mapping:
         if tkey not in state_dict:
             continue
         value = _convert(kind, opath.rsplit("/", 1)[-1], np.asarray(state_dict[tkey]))
@@ -395,13 +504,21 @@ def import_state_dict(state_dict: Dict[str, np.ndarray], like, clip_layers: int 
     return {"params": inner, **{k: v for k, v in tree.items() if k != "params"}}, report
 
 
-def import_torch_checkpoint(path: str, model_cfg, like=None):
-    """Load a torch .ckpt / .pt file and convert (requires a template tree)."""
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch .ckpt / .pt file -> flat {key: numpy} state dict."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt)
-    state_dict = {k: v.numpy() for k, v in state_dict.items() if hasattr(v, "numpy")}
+    return {k: v.numpy() for k, v in state_dict.items() if hasattr(v, "numpy")}
+
+
+def import_torch_checkpoint(path: str, model_cfg, like=None, state_dict=None):
+    """Load a torch .ckpt / .pt file and convert (requires a template tree).
+    `state_dict` short-circuits the file read when the caller already peeked
+    at the checkpoint (e.g. generate_face's fine-conditioner auto-select)."""
+    if state_dict is None:
+        state_dict = load_torch_state_dict(path)
     if like is None:
         raise ValueError(
             "import_torch_checkpoint needs `like` (an initialized param tree) "

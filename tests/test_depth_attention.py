@@ -88,8 +88,8 @@ def test_cfg_doubled_batch_matches_zero_context(rng):
     # explicit: full doubled batch with zeroed unconditional context
     ctx_full = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
     ref = mod.apply(params, x, ctx_full)
-    # fast path: half-batch context, analytic unconditional half
-    out = mod.apply(params, x, ctx)
+    # fast path: half-batch context + the EXPLICIT cfg_doubled contract
+    out = mod.apply(params, x, ctx, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

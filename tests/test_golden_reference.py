@@ -29,10 +29,21 @@ def ref_modules():
     # the reference's ldm.util imports torchvision at module scope; only the
     # import is needed for these modules, so stub it.
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tv.utils = types.ModuleType("torchvision.utils")
+        # transformers probes importlib.util.find_spec("torchvision"); a
+        # stub with __spec__=None makes that raise instead of miss
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        tv.utils.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.utils", None
+        )
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.Normalize = lambda *a, **k: (lambda x: x)
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv.utils
+        sys.modules["torchvision.transforms"] = tv.transforms
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
         lc = types.ModuleType("omegaconf.listconfig")
@@ -318,31 +329,46 @@ def test_conditioning_nets_golden_vs_reference(ref_modules):
         )
 
 
+def install_kornia_stub():
+    """Stub kornia.create_meshgrid with its documented semantics: pixel-
+    center integer grid, (1, H, W, 2) xy order."""
+    if "kornia" in sys.modules:
+        return
+
+    ko = types.ModuleType("kornia")
+
+    def create_meshgrid(H, W, normalized_coordinates=True, device=None,
+                        dtype=None):
+        ys, xs = torch.meshgrid(
+            torch.arange(H, dtype=torch.float32),
+            torch.arange(W, dtype=torch.float32), indexing="ij",
+        )
+        if normalized_coordinates:
+            xs = 2 * xs / (W - 1) - 1
+            ys = 2 * ys / (H - 1) - 1
+        return torch.stack([xs, ys], dim=-1)[None]
+
+    ko.create_meshgrid = create_meshgrid
+    ko.utils = types.ModuleType("kornia.utils")
+    ko.utils.create_meshgrid = create_meshgrid
+    # import-time-only extras (encoders/modules.py:5,213 — none of the
+    # golden-tested paths execute them)
+    ko.augmentation = types.ModuleType("kornia.augmentation")
+    ko.geometry = types.ModuleType("kornia.geometry")
+    ko.enhance = types.ModuleType("kornia.enhance")
+    sys.modules["kornia"] = ko
+    sys.modules["kornia.utils"] = ko.utils
+    sys.modules["kornia.augmentation"] = ko.augmentation
+    sys.modules["kornia.geometry"] = ko.geometry
+    sys.modules["kornia.enhance"] = ko.enhance
+
+
 def test_geometry_golden_vs_reference(ref_modules):
-    """create_target_volume / get_warp_coordinates parity with the reference
-    (kornia.create_meshgrid stubbed with its documented semantics: pixel-
-    center integer grid, (1, H, W, 2) xy order)."""
+    """create_target_volume / get_warp_coordinates parity with the
+    reference."""
     import jax.numpy as jnp
 
-    if "kornia" not in sys.modules:
-        ko = types.ModuleType("kornia")
-
-        def create_meshgrid(H, W, normalized_coordinates=True, device=None,
-                            dtype=None):
-            ys, xs = torch.meshgrid(
-                torch.arange(H, dtype=torch.float32),
-                torch.arange(W, dtype=torch.float32), indexing="ij",
-            )
-            if normalized_coordinates:
-                xs = 2 * xs / (W - 1) - 1
-                ys = 2 * ys / (H - 1) - 1
-            return torch.stack([xs, ys], dim=-1)[None]
-
-        ko.create_meshgrid = create_meshgrid
-        ko.utils = types.ModuleType("kornia.utils")
-        ko.utils.create_meshgrid = create_meshgrid
-        sys.modules["kornia"] = ko
-        sys.modules["kornia.utils"] = ko.utils
+    install_kornia_stub()
     from ldm.models.diffusion.utils import (
         create_target_volume as ref_ctv,
         get_warp_coordinates as ref_warp,

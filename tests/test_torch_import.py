@@ -153,3 +153,41 @@ def test_input_conv_surgery(abstract_tree):
     assert k.shape == (3, 3, 8, 320)
     np.testing.assert_allclose(k[:, :, :4], w4.transpose(2, 3, 1, 0))
     assert np.all(k[:, :, 4:] == 0)
+
+
+def test_export_import_roundtrip():
+    """export_state_dict is the exact inverse of import_state_dict: a tiny
+    model's real init params survive export->import bit-for-bit (including
+    the fine-grid spconv kernels and BN running stats)."""
+    cfg = tiny_config()
+    cfg.model.mesh_voxel_mode = "fine"
+    cfg.model.fine_grid_shape = (8, 8, 8)
+    cfg.model.fine_voxel_size = 0.1
+    model = MorphableDiffusion(cfg.model)
+    batch = tiny_batch(cfg, B=1)
+    names = ["params", "time", "noise", "view", "vae", "drop"]
+    rngs = dict(zip(names, jax.random.split(jax.random.key(2), len(names))))
+    params = model.init(rngs, batch, method="init_fn")
+
+    sd = ti.export_state_dict(params, clip_layers=cfg.model.clip.layers)
+    assert len(sd) > 300
+    like = jax.tree.map(lambda x: np.zeros(x.shape, np.float32), params)
+    imported, report = ti.import_state_dict(
+        sd, like, clip_layers=cfg.model.clip.layers
+    )
+    assert report["filled"] == len(sd)
+    assert not report["unused_torch_keys"], report["unused_torch_keys"][:5]
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(imported)[0])
+    checked = 0
+    for path, a in flat_a:
+        b = flat_b[path]
+        if np.asarray(a).shape == np.asarray(b).shape and not np.all(
+            np.asarray(b) == 0
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b), err_msg=str(path)
+            )
+            checked += 1
+    assert checked > 300
