@@ -3,15 +3,27 @@
 Parity target: eval/eval_2d_facescape.py — per (subject, expression): load
 the generated strip `{subject}_{exp}.png`, mask each generated view by the
 GT alpha (:95), accumulate SSIM / LPIPS / FID / PCK@0.2 / Re-ID and print
-the summary (:139). PSNR is reported additionally.
+the summary line (:139). PSNR is reported additionally.
 
-Native metric implementations live in morphablediffusion_tpu/eval/metrics.py.
-LPIPS and dlib Re-ID need external weights/deps; they are computed when the
-`lpips` / `dlib` packages are importable and skipped (reported as null)
-otherwise. FID uses CLIP-tower features when --clip_params is given.
+All five reference metrics are computed in-repo:
+  * SSIM / PSNR / PCK — native numpy (eval/metrics.py).
+  * FID — Frechet distance over CLIP-tower features extracted with the
+    model's own frozen CLIP encoder (`--ckpt`, weights present in every
+    published morphable-diffusion checkpoint). The reference uses
+    InceptionV3 features (torchmetrics); CLIP-FID is the framework-native
+    backend — absolute values are not comparable across feature spaces, but
+    it ranks models the same way. If `torchmetrics` is importable, pass
+    --fid_backend inception for the reference-exact number.
+  * Re-ID — IR-SE50 ArcFace descriptors (eval/irse.py, weights via
+    --reid_weights model_ir_se50.pth), Euclidean distance < --reid_threshold
+    (0.6 default, matching the reference's dlib rule :97-108).
+  * LPIPS — computed when the external `lpips` package is importable
+    (reference-exact), else null.
 
   python -m morphablediffusion_tpu.apps.eval_2d --data_dir <root> \
       --generated_dir eval_out --views_json eval/facescape_input_target_views.json \
+      [--ckpt ckpt/facescape_flame.ckpt --cfg configs/facescape.yaml] \
+      [--reid_weights model_ir_se50.pth] \
       [--pred_kpts kpts_gen.json --gt_kpts kpts_gt.json]
 """
 
@@ -41,6 +53,109 @@ def _load_gt(view_dir, size=256):
     return img, mask
 
 
+def _load_clip_params(ckpt_path: str, cfg_path: str):
+    """CLIP-tower params for FID features, from a model checkpoint.
+
+    Torch `.ckpt`: map `clip_image_encoder.model.visual.*` keys onto a fresh
+    CLIPImageEncoder tree. Orbax dir: restore and take the
+    `clip_image_encoder` subtree.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from morphablediffusion_tpu.models.clip import CLIPImageEncoder
+    from morphablediffusion_tpu.utils.config import Config, load_config
+
+    cfg = load_config(cfg_path) if cfg_path else Config()
+    c = cfg.model.clip
+    enc = CLIPImageEncoder(width=c.width, layers=c.layers,
+                           num_heads=c.num_heads, patch_size=c.patch_size,
+                           output_dim=c.output_dim)
+    size = cfg.model.image_size
+    like = jax.eval_shape(
+        lambda: enc.init(jax.random.key(0),
+                         jnp.zeros((1, size, size, 3), jnp.float32))
+    )
+    like = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), like)
+    if str(ckpt_path).endswith((".ckpt", ".pt", ".pth")):
+        import torch
+
+        from morphablediffusion_tpu.utils.torch_import import import_state_dict
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        wrapped = {"params": {"clip_image_encoder": like["params"]}}
+        imported, report = import_state_dict(sd, wrapped, clip_layers=c.layers)
+        print(f"clip tower: {report['filled']} tensors imported")
+        return {"params": imported["params"]["clip_image_encoder"]}, c
+    from morphablediffusion_tpu.models.diffusion import MorphableDiffusion
+    from morphablediffusion_tpu.utils.checkpoint import CheckpointManager
+
+    # orbax params export holds the full model tree: restore abstractly
+    # (zeros batch, eval_shape — no compute) and take the clip subtree
+    m = cfg.model
+    model = MorphableDiffusion(m)
+    z = jnp.zeros
+    batch = {
+        "input_image": z((1, size, size, 3)),
+        "input_elevation": z((1, 1)),
+        "input_azimuth": z((1, 1)),
+        "target_elevation": z((1, m.view_num)),
+        "target_azimuth": z((1, m.view_num)),
+        "target_K": jnp.broadcast_to(jnp.eye(4), (1, m.view_num, 4, 4)),
+        "target_RT": jnp.broadcast_to(
+            jnp.eye(4)[:3], (1, m.view_num, 3, 4)
+        ),
+        "vertices": z((1, m.max_vertices, 3)),
+        "vertex_mask": jnp.ones((1, m.max_vertices)),
+        "target_image": z((1, m.view_num, size, size, 3)),
+    }
+    names = ["params", "time", "noise", "view", "vae", "drop"]
+    rngs = dict(zip(names, jax.random.split(jax.random.key(0), len(names))))
+    abstract = jax.eval_shape(
+        lambda r, b: model.init(r, b, method="init_fn"), rngs, batch
+    )
+    mgr = CheckpointManager(ckpt_path)
+    params = mgr.restore_params(abstract)
+    return {"params": params["params"]["clip_image_encoder"]}, c
+
+
+def _clip_features(images, enc_params, clip_cfg, chunk=16):
+    """(N, H, W, 3) [0,1] -> (N, D) CLIP embeddings, chunked jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from morphablediffusion_tpu.models.clip import CLIPImageEncoder
+
+    c = clip_cfg
+    enc = CLIPImageEncoder(width=c.width, layers=c.layers,
+                           num_heads=c.num_heads, patch_size=c.patch_size,
+                           output_dim=c.output_dim)
+    fn = jax.jit(enc.apply)
+    out = []
+    arr = np.stack(images)
+    for lo in range(0, len(arr), chunk):
+        x = jnp.asarray(arr[lo : lo + chunk]) * 2.0 - 1.0
+        out.append(np.asarray(fn(enc_params, x)))
+    feats = np.concatenate(out)
+    return feats.reshape(feats.shape[0], -1)
+
+
+def _inception_fid(real, fake):
+    """Reference-exact FID via torchmetrics InceptionV3, if importable."""
+    import torch
+    from torchmetrics.image.fid import FrechetInceptionDistance
+
+    fid = FrechetInceptionDistance()
+    to8 = lambda ims: torch.from_numpy(
+        (np.stack(ims) * 255).astype(np.uint8)
+    ).permute(0, 3, 1, 2)
+    fid.update(to8(real), real=True)
+    fid.update(to8(fake), real=False)
+    return float(fid.compute().item())
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data_dir", type=str, required=True)
@@ -51,6 +166,19 @@ def main(argv=None):
     parser.add_argument("--pred_kpts", type=str, default="")
     parser.add_argument("--gt_kpts", type=str, default="")
     parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--ckpt", type=str, default="",
+                        help="model checkpoint (torch .ckpt or orbax dir) "
+                             "providing the CLIP tower for FID features")
+    parser.add_argument("--cfg", type=str, default="",
+                        help="model config yaml (CLIP dims for --ckpt)")
+    parser.add_argument("--fid_backend", type=str, default="clip",
+                        choices=["clip", "inception"],
+                        help="clip: framework-native CLIP-FID; inception: "
+                             "reference-exact (needs torchmetrics)")
+    parser.add_argument("--reid_weights", type=str, default="",
+                        help="IR-SE50 ArcFace weights (model_ir_se50.pth) "
+                             "for the Re-ID rate")
+    parser.add_argument("--reid_threshold", type=float, default=0.6)
     flags = parser.parse_args(argv)
 
     metadata = json.loads(Path(flags.views_json).read_text())
@@ -68,8 +196,30 @@ def main(argv=None):
     except Exception:
         lpips_fn = None
 
-    ssims, psnrs, lpipss = [], [], []
-    real_feats, fake_feats = [], []
+    reid_fn = None
+    if flags.reid_weights:
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from morphablediffusion_tpu.eval.irse import (
+            IRSE50,
+            face_descriptors,
+            import_irse_state_dict,
+        )
+
+        sd = torch.load(flags.reid_weights, map_location="cpu")
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        like = IRSE50().init(jax.random.key(0),
+                             jnp.zeros((1, 112, 112, 3), jnp.float32))
+        irse_params, report = import_irse_state_dict(sd, like)
+        print(f"irse50: {report['filled']} tensors imported")
+        reid_fn = lambda ims: face_descriptors(np.stack(ims), irse_params)
+
+    ssims, psnrs, lpipss, reid_dists = [], [], [], []
+    real_imgs, fake_imgs = [], []
     n_pairs = 0
     for strip_path in sorted(gen_dir.glob("*_*.png")):
         subject, exp = strip_path.stem.split("_")
@@ -90,7 +240,27 @@ def main(argv=None):
             psnrs.append(M.psnr(gen, gt))
             if lpips_fn:
                 lpipss.append(lpips_fn(gen, gt))
+            real_imgs.append(gt)
+            fake_imgs.append(gen)
+            if reid_fn is not None:
+                d = reid_fn([gt, gen])
+                reid_dists.append(float(np.linalg.norm(d[0] - d[1])))
             n_pairs += 1
+
+    fid_val = None
+    if real_imgs and (flags.ckpt or flags.fid_backend == "inception"):
+        if flags.fid_backend == "inception":
+            fid_val = _inception_fid(real_imgs, fake_imgs)
+        else:
+            enc_params, clip_cfg = _load_clip_params(flags.ckpt, flags.cfg)
+            real_f = _clip_features(real_imgs, enc_params, clip_cfg)
+            fake_f = _clip_features(fake_imgs, enc_params, clip_cfg)
+            fid_val = M.frechet_distance(real_f, fake_f)
+
+    reid_val = (
+        M.reid_rate(np.asarray(reid_dists), flags.reid_threshold)
+        if reid_dists else None
+    )
 
     pck_val = None
     if flags.pred_kpts and flags.gt_kpts:
@@ -107,12 +277,15 @@ def main(argv=None):
         "ssim": float(np.mean(ssims)) if ssims else None,
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "fid": fid_val,
         "pck@0.2": pck_val,
+        "re_id": reid_val,
     }
+    # reference printout shape (eval_2d_facescape.py:139)
     print(
-        f"SSIM: {result['ssim']}  PSNR: {result['psnr']}  "
-        f"LPIPS: {result['lpips']}  PCK@0.2: {result['pck@0.2']}  "
-        f"(n={n_pairs})"
+        f"SSIM: {result['ssim']}, LPIPS: {result['lpips']}, "
+        f"FID: {result['fid']}, PCK: {result['pck@0.2']}, "
+        f"Re-ID: {result['re_id']}"
     )
     print(json.dumps(result))
     return result

@@ -1,0 +1,154 @@
+"""Train the native 68-landmark detector (eval/keypoint_net.py).
+
+Makes PCK producible by this repo alone: the reference's keypoint stage
+needs the mmdet+mmpose CUDA zoos (eval/predict_keypoints.py); here a compact
+heatmap net is trained on the user's own FaceScape renders and then drives
+`eval_keypoints --backend native`.
+
+Label sources (``--labels``):
+  * a kpts JSON (``{image_name: [[x, y] * 68]}``) — e.g. one-time mmpose
+    output on GT views, after which the zoo is no longer needed;
+  * ``mesh:<landmarks.json>`` — 68 mesh landmark specs (vertex index or
+    barycentric ``[face, w0, w1, w2]``) projected with each view's camera
+    from `cameras.json` + the subject's mesh, fully standalone.
+
+  python -m morphablediffusion_tpu.apps.train_keypoints \
+      --image_dir <root with view_*/rgba_colorcalib.png> \
+      --labels kpts_gt.json --out landmark_net.msgpack \
+      [--steps 2000 --batch 16 --lr 3e-4 --image_size 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _collect_images(image_dir: Path, size: int):
+    """All rgba/png images under image_dir, keyed the way kpts JSONs are
+    (relative path without extension, '/' -> '_')."""
+    from PIL import Image
+
+    items = {}
+    for p in sorted(image_dir.rglob("*.png")):
+        key = str(p.relative_to(image_dir).with_suffix("")).replace("/", "_")
+        img = Image.open(p).convert("RGB").resize((size, size), Image.BILINEAR)
+        items[key] = np.asarray(img, np.float32) / 255.0
+    return items
+
+
+def _labels_from_json(path: Path):
+    data = json.loads(path.read_text())
+    return {k: np.asarray(v, np.float32)[:, :2] for k, v in data.items()}
+
+
+def _labels_from_mesh(spec_path: Path, image_dir: Path, mesh_path: Path,
+                      size: int):
+    """Project 68 mesh landmarks into every view via cameras.json."""
+    from morphablediffusion_tpu.utils.mesh_io import load_mesh
+
+    spec = json.loads(spec_path.read_text())
+    verts, faces = load_mesh(str(mesh_path))
+    pts = []
+    for lm in spec:
+        if isinstance(lm, int):
+            pts.append(verts[lm])
+        else:
+            f, w0, w1, w2 = lm
+            tri = verts[np.asarray(faces[int(f)])]
+            pts.append(w0 * tri[0] + w1 * tri[1] + w2 * tri[2])
+    pts = np.asarray(pts, np.float32)  # (68, 3)
+
+    labels = {}
+    for cam_file in sorted(image_dir.rglob("cameras.json")):
+        cams = json.loads(cam_file.read_text())
+        rel = cam_file.parent.relative_to(image_dir)
+        for view, cam in cams.items():
+            K = np.asarray(cam["intrinsics"], np.float32)
+            RT = np.asarray(cam["extrinsics"], np.float32)
+            pc = pts @ RT[:, :3].T + RT[:, 3]
+            uv = pc @ K.T
+            uv = uv[:, :2] / uv[:, 2:3]
+            key = str(rel / f"view_{str(view).zfill(5)}_rgba_colorcalib")
+            labels[key.replace("/", "_")] = uv * (size / (2 * K[0, 2]))
+    return labels
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--image_dir", type=str, required=True)
+    parser.add_argument("--labels", type=str, required=True,
+                        help="kpts JSON path, or mesh:<landmarks.json>")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="mesh path for mesh: labels")
+    parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log_every", type=int, default=50)
+    flags = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from morphablediffusion_tpu.eval.keypoint_net import (
+        LandmarkNet,
+        keypoint_loss,
+        save_params,
+    )
+
+    image_dir = Path(flags.image_dir)
+    images = _collect_images(image_dir, flags.image_size)
+    if flags.labels.startswith("mesh:"):
+        labels = _labels_from_mesh(
+            Path(flags.labels[5:]), image_dir, Path(flags.mesh),
+            flags.image_size,
+        )
+    else:
+        labels = _labels_from_json(Path(flags.labels))
+    keys = sorted(set(images) & set(labels))
+    if not keys:
+        raise SystemExit(
+            f"no (image, label) pairs: {len(images)} images, "
+            f"{len(labels)} labels, 0 common keys"
+        )
+    print(f"{len(keys)} training pairs")
+    X = np.stack([images[k] for k in keys])
+    Y = np.stack([labels[k] for k in keys])
+
+    net = LandmarkNet()
+    params = net.init(
+        jax.random.key(flags.seed), jnp.asarray(X[:1])
+    )
+    tx = optax.adam(flags.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        loss, grads = jax.value_and_grad(keypoint_loss)(
+            params, net.apply, xb, yb
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(flags.seed)
+    for i in range(flags.steps):
+        idx = rng.integers(0, len(keys), min(flags.batch, len(keys)))
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(X[idx]), jnp.asarray(Y[idx])
+        )
+        if i % flags.log_every == 0:
+            print(f"step {i} loss {float(loss):.5f}")
+
+    save_params(flags.out, params)
+    print(f"saved landmark net to {flags.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,9 +76,11 @@ def pck(pred_kpts: np.ndarray, gt_kpts: np.ndarray,
         threshold: float = 0.2) -> float:
     """PCK with interocular normalization (eval_2d_facescape.py:135-137).
 
-    pred/gt: (N, 68, 2). Interocular distance = |kpt36 - kpt45| per sample.
+    pred/gt: (N, 68, 2). The reference normalizes by the INTERCANTHAL
+    distance — inner eye corners, kpts 39 and 42 (`gt_kpts_all[:, 39] -
+    gt_kpts_all[:, 42]`) — not the outer 36/45 pair.
     """
-    interocular = np.linalg.norm(gt_kpts[:, 36] - gt_kpts[:, 45], axis=-1)
+    interocular = np.linalg.norm(gt_kpts[:, 39] - gt_kpts[:, 42], axis=-1)
     dist = np.linalg.norm(pred_kpts - gt_kpts, axis=-1)  # (N, 68)
     ok = dist < threshold * interocular[:, None]
     return float(ok.mean())

@@ -90,3 +90,77 @@ def test_eval_2d_perfect_reconstruction(eval_fixture):
     assert result["ssim"] > 0.99
     assert result["psnr"] > 40
     assert result["pck@0.2"] == 1.0
+
+
+def test_eval_2d_all_five_metrics(eval_fixture, tmp_path):
+    """eval_2d emits every reference metric (eval_2d_facescape.py:139) from
+    in-repo backends: SSIM/PSNR native, FID from a CLIP tower in a torch
+    .ckpt, Re-ID from IR-SE50 weights, PCK from kpts JSONs. LPIPS stays
+    null without the external lpips package (documented)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    root, views_json, gen_dir, gt_kpts, pred_kpts = eval_fixture
+
+    # tiny model cfg matching the 32x32 fixture images
+    cfg_path = tmp_path / "eval.yaml"
+    cfg_path.write_text(
+        "model:\n  image_size: 32\n  max_vertices: 16\n  view_num: 2\n"
+        "  clip:\n    width: 32\n    layers: 1\n    num_heads: 2\n"
+        "    patch_size: 14\n    output_dim: 16\n"
+    )
+
+    # synthesize a torch ckpt holding exactly the CLIP-tower tensors
+    from morphablediffusion_tpu.models.clip import CLIPImageEncoder
+    from morphablediffusion_tpu.utils import torch_import as ti
+    from test_torch_import import _get, _torch_shape
+
+    enc = CLIPImageEncoder(width=32, layers=1, num_heads=2, patch_size=14,
+                           output_dim=16)
+    like = jax.eval_shape(
+        lambda: enc.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    rng = np.random.default_rng(3)
+    sd = {}
+    for tkey, opath, kind in ti.clip_mapping(layers=1):
+        leaf = _get(like["params"], opath.split("/", 1)[1])
+        if leaf is None:
+            continue
+        name = opath.rsplit("/", 1)[-1]
+        sd[tkey] = torch.from_numpy(
+            rng.normal(0, 0.05, _torch_shape(kind, name, leaf.shape)).astype(
+                np.float32
+            )
+        )
+    ckpt = tmp_path / "clip.ckpt"
+    torch.save({"state_dict": sd}, ckpt)
+
+    # IR-SE50 weights: random-init reference-shaped state_dict
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from ldm.thirdp.psp.model_irse import Backbone
+
+    torch.manual_seed(2)
+    reid_w = tmp_path / "ir_se50.pth"
+    torch.save(Backbone(112, 50, "ir_se").eval().state_dict(), reid_w)
+
+    result = eval_2d_main([
+        "--data_dir", str(root / "data"),
+        "--generated_dir", str(gen_dir),
+        "--views_json", str(views_json),
+        "--image_size", "32",
+        "--pred_kpts", str(pred_kpts),
+        "--gt_kpts", str(gt_kpts),
+        "--ckpt", str(ckpt),
+        "--cfg", str(cfg_path),
+        "--reid_weights", str(reid_w),
+    ])
+    # generated == GT: FID ~ 0, every view re-identified, PCK perfect
+    assert result["fid"] is not None and result["fid"] < 1e-3
+    assert result["re_id"] == 1.0
+    assert result["pck@0.2"] == 1.0
+    assert result["ssim"] > 0.99
+    assert "lpips" in result  # present (null without the external package)

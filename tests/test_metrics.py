@@ -44,13 +44,14 @@ def test_frechet_distance_properties(rng):
 def test_pck_interocular(rng):
     gt = rng.uniform(0, 256, (10, 68, 2))
     assert M.pck(gt, gt) == 1.0
-    # displace all predictions by more than 0.2 * interocular
-    inter = np.linalg.norm(gt[:, 36] - gt[:, 45], axis=-1)
-    pred = gt + inter[:, None, None]
+    # displace all predictions by more than 0.2 * the intercanthal
+    # normalizer (inner eye corners 39/42, eval_2d_facescape.py:135-137)
+    inter = np.linalg.norm(gt[:, 39] - gt[:, 42], axis=-1)
+    pred = gt + 0.3 * inter[:, None, None]
     assert M.pck(pred, gt) == 0.0
     # half the keypoints displaced
     pred2 = gt.copy()
-    pred2[:, :34] += inter[:, None, None]
+    pred2[:, :34] += 0.3 * inter[:, None, None]
     assert M.pck(pred2, gt) == pytest.approx(34 / 68)
 
 
