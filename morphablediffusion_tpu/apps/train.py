@@ -30,14 +30,26 @@ def build_datasets(cfg):
     m = cfg.model
     if d.dataset == "facescape":
         train_ids, val_ids = train_val_uids()
+        if d.uids:
+            train_ids = list(d.uids)
+        if d.val_uids:
+            val_ids = list(d.val_uids)
         mk = lambda ids, seed: FaceScapeDataset(
             d.data_dir, ids, mesh_topology=d.mesh_topology,
             shuffled_expression=d.shuffled_expression, image_size=m.image_size,
             num_views=m.view_num, max_vertices=m.max_vertices, seed=seed,
+            **(
+                {"flame_assets_dir": d.flame_assets_dir}
+                if d.flame_assets_dir else {}
+            ),
         )
         return mk(train_ids, d.seed), mk(val_ids, d.seed + 1)
     elif d.dataset == "thuman":
         train_ids, val_ids = thuman_uids()
+        if d.uids:
+            train_ids = list(d.uids)
+        if d.val_uids:
+            val_ids = list(d.val_uids)
         mk = lambda ids, seed: THumanDataset(
             d.data_dir, d.smplx_dir, ids, image_size=m.image_size,
             num_views=m.view_num, max_vertices=m.max_vertices, seed=seed,
@@ -128,14 +140,21 @@ def main(argv=None):
         )
         state = state.replace(params=params)
     if flags.resume and ckpt_mgr.latest_step() is not None:
+        # carry each leaf's sharding into the abstract tree so orbax
+        # restores the ZeRO-1-sharded opt state directly into its layout
+        # (instead of replicated-then-resharded-by-the-step, which is both
+        # wasteful and wrong under multi-host restore)
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            state,
         )
         state = ckpt_mgr.restore(abstract)
         print(f"resumed from step {int(state.step)}")
 
     step_fn = trainer.compile_train_step(state.params)
     sample_fn = None
+    val_batches = None
     prof_lo = prof_hi = -1
     if flags.profile_steps:
         lo, _, hi = flags.profile_steps.partition("-")
@@ -160,13 +179,17 @@ def main(argv=None):
             t_last = time.time()
             mem = jax.local_devices()[0].memory_stats() or {}
             hbm_gb = mem.get("bytes_in_use", 0) / 2**30
-            print(f"step {step} loss {loss:.4f} {dt*1000:.0f} ms/step "
-                  f"hbm {hbm_gb:.1f} GiB")
+            lr = trainer.lr_at(step)
+            print(f"step {step} loss {loss:.4f} lr {lr:.2e} "
+                  f"{dt*1000:.0f} ms/step hbm {hbm_gb:.1f} GiB")
             if writer:
                 writer.add_scalar("train/loss", loss, step)
                 writer.add_scalar("train/step_time_s", dt, step)
                 writer.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step)
                 writer.add_scalar("train/hbm_gib", hbm_gb, step)
+                # LearningRateMonitor parity (train_morphable_diffusion.py
+                # :289-292)
+                writer.add_scalar("train/lr", lr, step)
 
         if cfg.train.val_check_interval and step % cfg.train.val_check_interval == 0:
             if jax.process_index() == 0:
@@ -180,8 +203,13 @@ def main(argv=None):
                     sample_fn = jax.jit(
                         lambda p, b, r: sampler.sample(p, b, r, cfg.model.cfg_scale)
                     )
+                if val_batches is None:
+                    # ONE live iterator for the whole run: `iter(val_loader)`
+                    # per validation would leak a producer thread (+ its
+                    # prefetched batches) every 250 steps
+                    val_batches = iter(val_loader)
                 val_batch = {
-                    k: jax.numpy.asarray(v) for k, v in next(iter(val_loader)).items()
+                    k: jax.numpy.asarray(v) for k, v in next(val_batches).items()
                 }
                 images, _ = sample_fn(state.params, val_batch, jax.random.key(step))
                 save_val_sheet(
@@ -193,6 +221,9 @@ def main(argv=None):
 
     ckpt_mgr.maybe_save(state, int(state.step), force=True)
     ckpt_mgr.wait()
+    batches.close()  # generator close() stops the producer thread
+    if val_batches is not None:
+        val_batches.close()
     print("training done")
 
 

@@ -64,7 +64,13 @@ class PrefetchLoader:
         return self.epochs()
 
     def epochs(self, start_epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite batch stream across epochs."""
+        """Infinite batch stream across epochs.
+
+        The returned generator owns one daemon producer thread; call
+        `.close()` (or exhaust/GC it) to stop the producer — callers that
+        need batches repeatedly (e.g. periodic validation) must reuse ONE
+        iterator, not create a fresh one per use.
+        """
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -75,6 +81,8 @@ class PrefetchLoader:
                     while not stop.is_set():
                         idx = self._epoch_indices(epoch)
                         for lo in range(0, len(idx), self.batch_size):
+                            if stop.is_set():
+                                return
                             chunk = idx[lo : lo + self.batch_size]
                             if len(chunk) < self.batch_size and self.drop_last:
                                 continue

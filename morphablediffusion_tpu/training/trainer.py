@@ -108,6 +108,7 @@ class Trainer:
 
             self.mesh = create_mesh()
         self._tx = None
+        self._sched = None
 
     # ------------------------------------------------------------------ #
 
@@ -141,7 +142,7 @@ class Trainer:
             lambda r, b: self.model.init(r, b, method="init_fn")
         )(rngs, batch)
         params = self.cast_frozen(params)
-        self._tx, _ = make_optimizer(self.config, params)
+        self._tx, self._sched = make_optimizer(self.config, params)
         opt_state = jax.jit(
             self._tx.init, out_shardings=self.opt_state_shardings(params)
         )(params)
@@ -154,8 +155,16 @@ class Trainer:
 
     def tx(self, params):
         if self._tx is None:
-            self._tx, _ = make_optimizer(self.config, params)
+            self._tx, self._sched = make_optimizer(self.config, params)
         return self._tx
+
+    def lr_at(self, step: int) -> float:
+        """Base learning rate at an optimizer step (the reference's
+        LearningRateMonitor scalar, train_morphable_diffusion.py:289-292);
+        conditioning nets run at cond_lr_mult x this."""
+        if self._sched is None:
+            _, self._sched = make_optimizer(self.config, {})
+        return float(self._sched(step))
 
     def cast_frozen(self, params):
         """Store strictly-frozen leaves (VAE + CLIP) in bf16 (see config:

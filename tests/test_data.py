@@ -159,3 +159,33 @@ def test_thuman_item(thuman_root):
     assert item["vertex_mask"].sum() == 20
     # normalization applied: v*0.5 + offset(0.0, 0.1, 0.0); uid<526 -> blender rot
     assert np.abs(item["vertices"][:20, 1].mean() - 0.1) < 0.2
+
+
+def test_loader_thread_lifecycle(facescape_root):
+    """One live producer per iterator; close() reclaims it (the train CLI
+    reuses a single validation iterator instead of spawning one per val)."""
+    import threading
+    import time
+
+    root, flame = facescape_root
+    ds = FaceScapeDataset(
+        str(root), uids=["001/01", "001/02", "002/01", "002/02"],
+        image_size=32, num_views=4, max_vertices=16, flame_assets_dir=str(flame),
+    )
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=1, prefetch=1)
+
+    base = threading.active_count()
+    it = iter(loader)
+    for _ in range(4):  # repeated pulls from ONE iterator: no thread growth
+        next(it)
+    during = threading.active_count()
+    # producer + its 1-worker pool
+    assert during <= base + 2, (base, during)
+
+    it.close()
+    deadline = time.time() + 10
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= base, (
+        base, threading.active_count(),
+    )
