@@ -61,6 +61,18 @@ def main():
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(abstract))
     print(f"# params: {n_params/1e6:.1f}M", file=sys.stderr)
 
+    # BENCH_REAL_WEIGHTS=1: time the graph with imported non-zero weights
+    # (value-dependent numerics: bf16 ranges, the analytic uncond branch).
+    # BENCH_CKPT names a torch .ckpt (tools/make_flagship_ckpt.py builds a
+    # flagship-width one when the published files aren't on disk).
+    if os.environ.get("BENCH_REAL_WEIGHTS") == "1":
+        from morphablediffusion_tpu.utils.torch_import import import_torch_checkpoint
+
+        ckpt = os.environ.get("BENCH_CKPT", "/tmp/flagship.ckpt")
+        like = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
+        params = import_torch_checkpoint(ckpt, cfg.model, like=like)
+        params = jax.device_put(params)
+
     # serving configuration: bf16 matmul/conv weights (fp32 norm params)
     if os.environ.get("BENCH_F32_PARAMS") != "1":
         from morphablediffusion_tpu.utils.checkpoint import (
@@ -86,15 +98,18 @@ def main():
         def run(key):
             return float(fn(params, batch, key))
 
-    run(jax.random.key(1))
+    checksum = run(jax.random.key(1))
 
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     times = []
     for i in range(runs):
         t0 = time.perf_counter()
-        run(jax.random.key(2 + i))
+        checksum = run(jax.random.key(2 + i))
         times.append(time.perf_counter() - t0)
     print("# runs:", [round(t, 3) for t in times], file=sys.stderr)
+    if checksum is not None:
+        print(f"# image checksum: {checksum} (finite={np.isfinite(checksum)})",
+              file=sys.stderr)
     value = min(times)
 
     print(

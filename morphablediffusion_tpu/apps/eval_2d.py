@@ -17,8 +17,10 @@ All five reference metrics are computed in-repo:
   * Re-ID — IR-SE50 ArcFace descriptors (eval/irse.py, weights via
     --reid_weights model_ir_se50.pth), Euclidean distance < --reid_threshold
     (0.6 default, matching the reference's dlib rule :97-108).
-  * LPIPS — computed when the external `lpips` package is importable
-    (reference-exact), else null.
+  * LPIPS — native VGG backend (eval/lpips_vgg.py) from the published
+    torchvision vgg16 + lpips calibration weight files
+    (--lpips_vgg vgg16-397923af.pth --lpips_lin vgg_lpips.pth); falls back
+    to the external `lpips` package if importable, else null.
 
   python -m morphablediffusion_tpu.apps.eval_2d --data_dir <root> \
       --generated_dir eval_out --views_json eval/facescape_input_target_views.json \
@@ -179,22 +181,34 @@ def main(argv=None):
                         help="IR-SE50 ArcFace weights (model_ir_se50.pth) "
                              "for the Re-ID rate")
     parser.add_argument("--reid_threshold", type=float, default=0.6)
+    parser.add_argument("--lpips_vgg", type=str, default="",
+                        help="torchvision vgg16 weights "
+                             "(vgg16-397923af.pth) for native LPIPS")
+    parser.add_argument("--lpips_lin", type=str, default="",
+                        help="lpips v0.1 vgg calibration weights "
+                             "(vgg.pth) for native LPIPS")
     flags = parser.parse_args(argv)
 
     metadata = json.loads(Path(flags.views_json).read_text())
     gen_dir = Path(flags.generated_dir)
 
-    try:
-        import lpips as lpips_pkg
-        import torch
+    if flags.lpips_vgg and flags.lpips_lin:
+        from morphablediffusion_tpu.eval.lpips_vgg import load_lpips
 
-        lpips_model = lpips_pkg.LPIPS(net="vgg")
-        def lpips_fn(a, b):
-            ta = torch.from_numpy((a * 2 - 1).transpose(2, 0, 1)[None]).float()
-            tb = torch.from_numpy((b * 2 - 1).transpose(2, 0, 1)[None]).float()
-            return float(lpips_model(ta, tb).item())
-    except Exception:
-        lpips_fn = None
+        dist = load_lpips(flags.lpips_vgg, flags.lpips_lin)
+        lpips_fn = lambda a, b: float(dist([a], [b])[0])
+    else:
+        try:
+            import lpips as lpips_pkg
+            import torch
+
+            lpips_model = lpips_pkg.LPIPS(net="vgg")
+            def lpips_fn(a, b):
+                ta = torch.from_numpy((a * 2 - 1).transpose(2, 0, 1)[None]).float()
+                tb = torch.from_numpy((b * 2 - 1).transpose(2, 0, 1)[None]).float()
+                return float(lpips_model(ta, tb).item())
+        except Exception:
+            lpips_fn = None
 
     reid_fn = None
     if flags.reid_weights:
