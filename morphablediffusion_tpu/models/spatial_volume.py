@@ -123,28 +123,27 @@ class SpatialVolumeNet(nn.Module):
         )  # (B*N, V, V, V, 2)
         unproj = grid_sample_2d(feats, coords)  # (B*N, V, V, V, 16)
 
-        # --- per-vertex features: sample each view's volume at the vertices ---
-        # Every view is sampled at the SAME vertex positions, so instead of
-        # N independent gathers from (V^3, 16) volumes (32 B rows — profiled
-        # 11.6 ms/step, transaction-bound), transpose to ONE view-major-
-        # channel volume (V^3, N*16) and gather each vertex once with 2x16x16B
-        # = 512 B rows: N x fewer points AND N x longer rows. The view mean
-        # then contracts the channel groups with a constant segment matmul
-        # (no lane-splitting reshape), and the extractor's linear commutes
-        # with the mean (see SMPLFeatureExtractor).
+        # --- per-vertex features: sample the view-MEAN volume at the vertices.
+        # Every view is sampled at the SAME vertex positions and the view
+        # fusion is a mean, and trilinear sampling is linear in the volume —
+        # so gather(mean_n vol_n, p) == mean_n gather(vol_n, p) exactly. The
+        # mean is one cheap reduction XLA fuses into the unprojection
+        # consumer, and the gather shrinks to Nv points over a (V^3, 16)
+        # volume. (History: per-view gathers were 11.6 ms/step transaction-
+        # bound; a view-major-channel (V^3, N*16) gather + segment-matmul
+        # mean cut that to ~4 ms but paid a full relayout copy of the
+        # (N, V^3, 16) tensor; hoisting the mean removes both. End-to-end
+        # avatar time measured neutral (3.84 s) — the remaining gather was
+        # off the critical path — so this stands as the simpler exact-
+        # equivalent form, parity-tested in test_spatial_volume.py.) The
+        # extractor's linear likewise commutes with the mean (pooled=True,
+        # see SMPLFeatureExtractor).
         vert_grid = (vertices / L).astype(unproj.dtype)  # (B, Nv, 3) in [-1,1]
-        Nv = vertices.shape[1]
         C = unproj.shape[-1]
-        vol_vm = jnp.moveaxis(
-            unproj.reshape(B, N, V * V * V, C), 1, 2
-        ).reshape(B, V, V, V, N * C)
-        vert_feats_vm = grid_sample_3d(vol_vm, vert_grid)  # (B, Nv, N*16)
-        # M[v*C + c, c] = 1/N: mean over the N view-channel groups
-        lane = jnp.arange(N * C)
-        M = ((lane[:, None] % C) == jnp.arange(C)[None, :]).astype(
-            vert_feats_vm.dtype
-        ) / N
-        vert_feats_mean = vert_feats_vm @ M  # (B, Nv, 16)
+        vol_mean = jnp.mean(
+            unproj.reshape(B, N, V, V, V, C), axis=1, dtype=jnp.float32
+        ).astype(unproj.dtype)  # (B, V, V, V, 16)
+        vert_feats_mean = grid_sample_3d(vol_mean, vert_grid)  # (B, Nv, 16)
         smpl_feats = self.smpl_feature_extractor(
             vert_feats_mean, pooled=True
         )  # (B, Nv, 16)

@@ -1,10 +1,11 @@
 """SpatialVolumeNet orchestrator tests.
 
-The production `construct_spatial_volume` uses a transposed view-major-channel
-gather + segment-matmul mean + pooled extractor (see spatial_volume.py:116-140
-for the measured rationale). This verifies it is numerically identical to the
-straightforward formulation the reference uses (morphable_diffusion.py:227-231):
-per-view 3D gathers at the vertices, per-view extractor, mean across views.
+The production `construct_spatial_volume` hoists the view mean BEFORE the
+vertex gather (trilinear sampling and the extractor linear both commute with
+the mean — see spatial_volume.py for the measured rationale). This verifies
+it is numerically identical to the straightforward formulation the reference
+uses (morphable_diffusion.py:227-231): per-view 3D gathers at the vertices,
+per-view extractor, mean across views.
 """
 
 import jax
