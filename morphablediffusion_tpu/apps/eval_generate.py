@@ -36,6 +36,9 @@ def main(argv=None):
     parser.add_argument("--cfg_scale", type=float, default=2.0)
     parser.add_argument("--seed", type=int, default=6033)
     parser.add_argument("--sample_steps", type=int, default=50)
+    parser.add_argument("--batch_view_num", type=int, default=0,
+                        help="0 = all views in one batch; >0 chunks the "
+                        "sampler's view axis (memory knob)")
     parser.add_argument("--limit", type=int, default=0,
                         help="stop after N (subject, expression) pairs (smoke)")
     flags = parser.parse_args(argv)
@@ -81,7 +84,8 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
 
     params = None
-    sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps)
+    sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps,
+                              batch_view_num=flags.batch_view_num)
     fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale)[0])
 
     done = 0

@@ -137,7 +137,9 @@ def main(argv=None):
     parser.add_argument("--ckpt", type=str, default="ckpt/facescape_flame.ckpt")
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--cfg_scale", type=float, default=2.0)
-    parser.add_argument("--batch_view_num", type=int, default=8)  # parity; unused
+    # reference default 8 (memory knob on a 2080 Ti); 0 = all 16 views in one
+    # batch, the TPU fast path — a v5e chip fits the full serving graph
+    parser.add_argument("--batch_view_num", type=int, default=0)
     parser.add_argument("--seed", type=int, default=6033)
     parser.add_argument("--sampler", type=str, default="ddim")
     parser.add_argument("--sample_steps", type=int, default=50)
@@ -206,7 +208,8 @@ def main(argv=None):
         )
 
         params = cast_params_for_serving(params)
-    sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps)
+    sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps,
+                              batch_view_num=flags.batch_view_num)
     vs = None
     if flags.view_parallel and len(jax.devices()) > 1:
         from morphablediffusion_tpu.parallel.mesh import (

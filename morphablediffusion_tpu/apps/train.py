@@ -196,8 +196,13 @@ def main(argv=None):
                 from morphablediffusion_tpu.sampling import SyncDDIMSampler
 
                 if sample_fn is None:
+                    # batch_view_num chunks the val sampler's view axis —
+                    # required here: the chip also holds fp32 params + AdamW
+                    # moments, so the all-16-view graph OOMs at flagship size
                     sampler = SyncDDIMSampler(
-                        trainer.model, sample_steps=cfg.model.sample_steps
+                        trainer.model,
+                        sample_steps=cfg.model.sample_steps,
+                        batch_view_num=cfg.model.batch_view_num,
                     )
                     # jit ONCE; re-jitting per validation would recompile
                     sample_fn = jax.jit(

@@ -139,11 +139,27 @@ class MorphableDiffusion(nn.Module):
         z = jax.lax.stop_gradient(z.astype(jnp.float32)) * FIRST_STAGE_SCALE
         return z.reshape(lead + z.shape[-3:])
 
-    def decode_views(self, latents):
-        """latents: (B, N, h, w, 4) scaled -> images (B, N, H, W, 3)."""
+    def decode_views(self, latents, batch_view_num: int = 0):
+        """latents: (B, N, h, w, 4) scaled -> images (B, N, H, W, 3).
+
+        batch_view_num (static): 0 / >= N decodes all views in one VAE call;
+        otherwise `lax.map` over view chunks bounds the decoder's activation
+        peak (the VAE decoder at 256^2 is the widest activation in the
+        sampling graph) — the same memory knob as predict_eps_cfg."""
         B, N = latents.shape[:2]
         flat = latents.reshape((B * N,) + latents.shape[2:]) / FIRST_STAGE_SCALE
-        img = self.first_stage.decode(flat).astype(jnp.float32)
+        chunk = batch_view_num if 0 < batch_view_num < N else N
+        if N % chunk != 0:
+            chunk = N
+        if chunk == N:
+            img = self.first_stage.decode(flat).astype(jnp.float32)
+        else:
+            stacked = flat.reshape((B * N // chunk, chunk) + flat.shape[1:])
+            img = jax.lax.map(
+                lambda z: self.first_stage.decode(z).astype(jnp.float32),
+                stacked,
+            )
+            img = img.reshape((B * N,) + img.shape[2:])
         return img.reshape((B, N) + img.shape[1:])
 
     def encode_clip(self, images):
@@ -198,41 +214,70 @@ class MorphableDiffusion(nn.Module):
 
     def predict_eps_cfg(
         self, x_noisy, t, clip_embed, x_input_latent, v_embed, batch,
-        cfg_scale: float,
+        cfg_scale: float, batch_view_num: int = 0,
     ):
-        """CFG noise prediction for ALL N views in one doubled-batch UNet call.
+        """CFG noise prediction for all N views.
 
         x_noisy: (B, N, h, w, 4); t: (B,). Returns (B, N, h, w, 4).
         (UNetWrapper.predict_with_unconditional_scale :132-149 + the sampler's
-        denoise_apply :701-739, with the view chunks fully batched.)
+        denoise_apply :701-739.)
+
+        batch_view_num (static) is the reference's sampling memory knob
+        (morphable_diffusion.py:723-735): 0 / >= N runs ALL views in one
+        doubled-batch UNet call (the TPU fast path — one chip fits the full
+        16-view batch at serving); 0 < batch_view_num < N serializes the
+        frustum + UNet work over view chunks with `lax.map`, cutting peak
+        activation memory ~N/batch_view_num x. The spatial volume is always
+        built from all N views jointly — that is the synchronization. Both
+        paths are numerically identical (tests/test_view_chunking.py).
         """
         B, N, h, w, C = x_noisy.shape
         t_embed = self.embed_time(t)
         volume = self._volume(x_noisy, t_embed, v_embed, batch)
-        all_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
-        volume_feats, _ = self._frustum(volume, t_embed, v_embed, batch, all_idx)
 
-        x_flat = x_noisy.reshape(B * N, h, w, C)
-        t_flat = jnp.repeat(t, N, axis=0)
-        clip_flat = jnp.repeat(clip_embed, N, axis=0)  # (B*N, 1, 768)
-        concat_flat = jnp.repeat(x_input_latent[:, None], N, axis=1).reshape(
-            B * N, h, w, C
-        )
+        def eps_for_views(view_idx):
+            """view_idx: (TN,) int32 -> eps (B, TN, h, w, C) with CFG applied."""
+            TN = view_idx.shape[0]
+            vi = jnp.broadcast_to(view_idx[None], (B, TN))
+            volume_feats, _ = self._frustum(volume, t_embed, v_embed, batch, vi)
 
-        x2 = jnp.concatenate([x_flat, x_flat], axis=0)
-        t2 = jnp.concatenate([t_flat, t_flat], axis=0)
-        clip2 = jnp.concatenate([clip_flat, jnp.zeros_like(clip_flat)], axis=0)
-        concat2 = jnp.concatenate([concat_flat, jnp.zeros_like(concat_flat)], axis=0)
-        # volume_feats stays at half batch: DepthTransformer detects the
-        # 2:1 ratio and reproduces the reference's zeros_like(v)
-        # unconditional source_dict (morphable_diffusion.py:138-140)
-        # analytically instead of projecting a (B*N, 48, w, w, C) zero
-        # tensor through the depth branch.
-        eps2 = self.apply_unet(x2, t2, clip2, volume_feats, concat2,
-                               cfg_doubled=True)
-        s, s_uc = jnp.split(eps2, 2, axis=0)
-        eps = s_uc + cfg_scale * (s - s_uc)
-        return eps.reshape(B, N, h, w, C)
+            x_sel = jnp.take_along_axis(
+                x_noisy, vi[..., None, None, None], axis=1
+            )  # (B, TN, h, w, C)
+            x_flat = x_sel.reshape(B * TN, h, w, C)
+            t_flat = jnp.repeat(t, TN, axis=0)
+            clip_flat = jnp.repeat(clip_embed, TN, axis=0)  # (B*TN, 1, 768)
+            concat_flat = jnp.repeat(
+                x_input_latent[:, None], TN, axis=1
+            ).reshape(B * TN, h, w, C)
+
+            x2 = jnp.concatenate([x_flat, x_flat], axis=0)
+            t2 = jnp.concatenate([t_flat, t_flat], axis=0)
+            clip2 = jnp.concatenate(
+                [clip_flat, jnp.zeros_like(clip_flat)], axis=0
+            )
+            concat2 = jnp.concatenate(
+                [concat_flat, jnp.zeros_like(concat_flat)], axis=0
+            )
+            # volume_feats stays at half batch: DepthTransformer detects the
+            # 2:1 ratio and reproduces the reference's zeros_like(v)
+            # unconditional source_dict (morphable_diffusion.py:138-140)
+            # analytically instead of projecting a (B*TN, 48, w, w, C) zero
+            # tensor through the depth branch.
+            eps2 = self.apply_unet(x2, t2, clip2, volume_feats, concat2,
+                                   cfg_doubled=True)
+            s, s_uc = jnp.split(eps2, 2, axis=0)
+            eps = s_uc + cfg_scale * (s - s_uc)
+            return eps.reshape(B, TN, h, w, C)
+
+        chunk = batch_view_num if 0 < batch_view_num < N else N
+        if N % chunk != 0:
+            chunk = N
+        if chunk == N:
+            return eps_for_views(jnp.arange(N, dtype=jnp.int32))
+        groups = jnp.arange(N, dtype=jnp.int32).reshape(N // chunk, chunk)
+        eps_chunks = jax.lax.map(eps_for_views, groups)  # (G, B, chunk, ...)
+        return jnp.moveaxis(eps_chunks, 0, 1).reshape(B, N, h, w, C)
 
     # ------------------------------------------------------------------ #
     # training

@@ -37,6 +37,12 @@ class SyncDDIMSampler:
     model: MorphableDiffusion
     sample_steps: int = 50
     eta: float = 1.0
+    # Reference memory knob (morphable_diffusion.py:723-735): serialize the
+    # frustum + UNet work (and the VAE decode) over chunks of this many views
+    # per step via lax.map. 0 = all views in one batch (TPU fast path; a
+    # single chip fits the full 16-view batch at serving). Use 4-8 when the
+    # chip also holds training state (e.g. validation sampling mid-train).
+    batch_view_num: int = 0
 
     def __post_init__(self):
         sched = schedules.make_diffusion_schedule()
@@ -77,6 +83,7 @@ class SyncDDIMSampler:
                 prep["v_embed"],
                 batch,
                 cfg_scale,
+                self.batch_view_num,
                 method="predict_eps_cfg",
             )
             step_rng = jax.random.fold_in(rng, index)
@@ -105,5 +112,7 @@ class SyncDDIMSampler:
         latents = self.denoise_latents(
             params, batch, prep, rng, cfg_scale, view_sharding=view_sharding
         )
-        images = self.model.apply(params, latents, method="decode_views")
+        images = self.model.apply(
+            params, latents, self.batch_view_num, method="decode_views"
+        )
         return images, latents

@@ -54,7 +54,11 @@ class ModelConfig:
     image_size: int = 256
     cfg_scale: float = 2.0
     output_num: int = 8
-    batch_view_num: int = 4  # kept for API parity; TPU batches all views
+    # Sampler memory knob (reference morphable_diffusion.py:723): chunk the
+    # per-view frustum+UNet work. Serving CLIs override to 0 (all views in
+    # one batch — the TPU fast path); mid-train validation keeps 4 because
+    # the chip also holds fp32 params + optimizer moments.
+    batch_view_num: int = 4
     finetune_unet: bool = True
     finetune_projection: bool = True
     drop_conditions: bool = False
