@@ -131,26 +131,27 @@ def main(argv=None):
 
     batches = iter(loader)
     first = shard_batch(next(batches), mesh)
-    state = trainer.init_state(first)
-    if flags.finetune_from:
-        from morphablediffusion_tpu.utils.torch_import import import_torch_checkpoint
-
-        params = import_torch_checkpoint(
-            flags.finetune_from, cfg.model, like=state.params
-        )
-        state = state.replace(params=params)
     if flags.resume and ckpt_mgr.latest_step() is not None:
-        # carry each leaf's sharding into the abstract tree so orbax
-        # restores the ZeRO-1-sharded opt state directly into its layout
-        # (instead of replicated-then-resharded-by-the-step, which is both
-        # wasteful and wrong under multi-host restore)
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                           sharding=x.sharding),
-            state,
-        )
-        state = ckpt_mgr.restore(abstract)
+        # Restore straight into the abstract (never-materialized) state:
+        # init_state + restore would hold 2x params+moments on device and
+        # OOM a single chip at flagship size. The abstract leaves carry
+        # shardings so orbax restores the ZeRO-1 opt state directly into
+        # its layout (not replicated-then-resharded-by-the-step, which is
+        # wasteful and wrong under multi-host restore). --finetune_from is
+        # ignored on resume: the checkpoint supersedes the import.
+        state = ckpt_mgr.restore(trainer.abstract_state(first))
         print(f"resumed from step {int(state.step)}")
+    else:
+        state = trainer.init_state(first)
+        if flags.finetune_from:
+            from morphablediffusion_tpu.utils.torch_import import (
+                import_torch_checkpoint,
+            )
+
+            params = import_torch_checkpoint(
+                flags.finetune_from, cfg.model, like=state.params
+            )
+            state = state.replace(params=params)
 
     step_fn = trainer.compile_train_step(state.params)
     sample_fn = None

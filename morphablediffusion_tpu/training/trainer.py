@@ -153,6 +153,31 @@ class Trainer:
             rng=root,
         )
 
+    def abstract_state(self, batch, seed: Optional[int] = None) -> TrainState:
+        """Shape/dtype/sharding skeleton of `init_state` WITHOUT touching the
+        device. The resume path restores a checkpoint straight into this: a
+        materialized init state (~12.5 GB params+moments at flagship size)
+        plus the restored copy is 2x the state and OOMs a single 16 GB chip
+        before the first is freed. Side effect (same as init_state): the
+        optimizer/schedule are built, so lr_at/compile_train_step work."""
+        abstract = jax.eval_shape(lambda b: self.init_state(b, seed), batch)
+        repl = NamedSharding(self.mesh, P())
+        opt_sh = self.opt_state_shardings(abstract.params)
+
+        def attach(x, sh):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+        if isinstance(opt_sh, NamedSharding):  # prefix: whole subtree
+            opt_abs = jax.tree.map(lambda x: attach(x, opt_sh), abstract.opt_state)
+        else:
+            opt_abs = jax.tree.map(attach, abstract.opt_state, opt_sh)
+        return TrainState(
+            step=attach(abstract.step, repl),
+            params=jax.tree.map(lambda x: attach(x, repl), abstract.params),
+            opt_state=opt_abs,
+            rng=attach(abstract.rng, repl),
+        )
+
     def tx(self, params):
         if self._tx is None:
             self._tx, self._sched = make_optimizer(self.config, params)
