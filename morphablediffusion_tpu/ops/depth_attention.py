@@ -233,23 +233,26 @@ def _ctx_kernel(q_ref, ctx_ref, wp_ref, a_ref, b_ref, wk_ref, wv_ref, o_ref,
     k = k.astype(ctx.dtype).reshape(D, S, Ci)
     v = v.astype(jnp.float32).reshape(D, S, Ci)
 
-    lane = lax.broadcasted_iota(jnp.int32, (Ci, num_heads), 0)
-    head = lax.broadcasted_iota(jnp.int32, (Ci, num_heads), 1)
-    seg = (lane // hd == head).astype(q.dtype)
+    # lane-REPLICATED block-diagonal segment matrix: segrep[c, f] =
+    # (c // hd == f // hd). One matmul lands sim already broadcast to all
+    # hd lanes of its head, so the softmax runs on full 128-lane tiles of
+    # real data and the old narrow (D*S, heads) matmul + attn @ seg.T
+    # broadcast matmul both disappear. (The VPU processes 128 lanes per
+    # cycle regardless, so the pre-replication softmax on a heads-wide
+    # tile wasted 1 - heads/128 of every cycle.) Measured 1.88 -> 1.25 ms
+    # per call at the flagship W=32 shape (B=16, D=48, Cc=64, Ci=128).
+    lane = lax.broadcasted_iota(jnp.int32, (Ci, Ci), 0)
+    out_l = lax.broadcasted_iota(jnp.int32, (Ci, Ci), 1)
+    segrep = (lane // hd == out_l // hd).astype(q.dtype)
 
     pq = q[None, :, :] * k                                   # (D, S, Ci)
-    sim = jnp.dot(pq.reshape(D * S, Ci), seg,
-                  preferred_element_type=jnp.float32)        # (D*S, heads)
-    sim = sim.reshape(D, S, num_heads) * scale
+    sim = jnp.dot(pq.reshape(D * S, Ci), segrep,
+                  preferred_element_type=jnp.float32)        # (D*S, Ci)
+    sim = sim.reshape(D, S, Ci) * scale
     m = jnp.max(sim, axis=0, keepdims=True)
     e = jnp.exp(sim - m)
-    attn = e / jnp.sum(e, axis=0, keepdims=True)             # (D, S, heads)
-
-    attn_l = jnp.dot(
-        attn.reshape(D * S, num_heads).astype(q.dtype), seg.T,
-        preferred_element_type=jnp.float32,
-    ).reshape(D, S, Ci)
-    out = jnp.sum(attn_l * v, axis=0)                        # (S, Ci)
+    attn = e / jnp.sum(e, axis=0, keepdims=True)             # (D, S, Ci) f32
+    out = jnp.sum(attn * v, axis=0)                          # (S, Ci)
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
@@ -260,10 +263,13 @@ def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
     hd = Ci // num_heads
     dt = ctx.dtype
     # block several image rows per grid cell: per-row matmuls have K=Cc<=128
-    # and leave the MXU underfed; hb=4 quadruples M at ~4x the (small) VMEM
+    # and leave the MXU underfed. VMEM stack is dominated by the f32
+    # (D, hb*W, Ci) softmax temporaries: measured ~12 B/element all-in
+    # (hb=8 at W=32/Ci=128 hit an 18.2M stack vs the 16M limit; hb=4 fits
+    # at ~9M), so cap the estimate at 14M.
     hb = 1
-    for cand in (4, 2):
-        if H % cand == 0 and D * cand * W * max(Cc, Ci) * 6 * 4 < 12_000_000:
+    for cand in (8, 4, 2):
+        if H % cand == 0 and D * cand * W * Ci * 12 < 14_000_000:
             hb = cand
             break
     kernel = functools.partial(_ctx_kernel, num_heads=num_heads,
