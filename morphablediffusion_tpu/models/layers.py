@@ -40,12 +40,21 @@ class GroupNorm(nn.Module):
     act: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
-        from morphablediffusion_tpu.ops.group_norm import group_norm
+    def __call__(self, x, shift=None):
+        from morphablediffusion_tpu.ops.group_norm import (
+            group_norm,
+            group_norm_shifted,
+        )
 
         C = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if shift is not None:
+            # GroupNorm(x + shift[:, None, None, :]) with the add folded into
+            # the statistics/affine — no materialized shifted tensor (the
+            # ResBlock time-embedding path; see group_norm_shifted)
+            return group_norm_shifted(x, shift, gamma, beta, self.num_groups,
+                                      self.epsilon, self.act)
         return group_norm(x, gamma, beta, self.num_groups, self.epsilon,
                           self.act)
 
@@ -173,8 +182,7 @@ class ResBlock(nn.Module):
             self.out_channels, dtype=self.dtype, param_dtype=jnp.float32,
             name="emb_proj",
         )(nn.silu(emb))
-        h = h + emb_out[:, None, None, :]
-        h = GroupNorm(32, name="norm_out", act="silu")(h)
+        h = GroupNorm(32, name="norm_out", act="silu")(h, shift=emb_out)
         h = conv(
             self.out_channels, 3, dtype=self.dtype, name="conv_out",
             kernel_init=zeros_init,

@@ -156,6 +156,49 @@ def _use_pallas(x, num_groups) -> bool:
     return C % 128 == 0 and (C // num_groups) >= 1 and S * C <= 2_000_000
 
 
+def group_norm_shifted(x, shift, gamma, beta, num_groups: int = 32,
+                       epsilon: float = 1e-5, act: str | None = None):
+    """GroupNorm(x + shift[:, None, ..., :]) WITHOUT materializing x+shift.
+
+    shift: (B, C) — the ResBlock's time-embedding projection. Adding a
+    per-(sample, channel) constant shifts the statistics analytically:
+    colsum' = colsum + S*t and colsq' = colsq + 2*t*colsum + S*t^2, so the
+    stats still come from one fused pass over x (which XLA fuses into the
+    producing conv), and the apply collapses to a per-(B, C) affine of x
+    that fuses into the consumer — the materialized x+shift pass of the
+    previous formulation disappears. Exact same f32 math up to
+    reassociation (unit-tested against group_norm(x + shift))."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    cg = C // num_groups
+    S = int(np.prod(x.shape[1:-1]))
+    n = cg * S
+
+    lane = lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    grp = lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    seg = (lane // cg == grp).astype(jnp.float32)
+
+    xf = x.reshape(B, S, C).astype(jnp.float32)
+    tf = shift.astype(jnp.float32)
+    colsum = jnp.sum(xf, axis=1)
+    colsq = jnp.sum(xf * xf, axis=1)
+    colsum2 = colsum + S * tf
+    colsq2 = colsq + 2.0 * tf * colsum + S * tf * tf
+    hp = lax.Precision.HIGHEST
+    mean = jnp.dot(colsum2, seg, precision=hp) / n
+    var = jnp.maximum(jnp.dot(colsq2, seg, precision=hp) / n - mean * mean,
+                      0.0)
+    inv = lax.rsqrt(var + epsilon)
+
+    bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
+    mean_l = mean @ seg.T
+    inv_l = inv @ seg.T
+    A = inv_l * gamma.astype(jnp.float32)[None]          # (B, C)
+    B2 = (tf - mean_l) * A + beta.astype(jnp.float32)[None]
+    y = x.astype(jnp.float32) * A.reshape(bshape) + B2.reshape(bshape)
+    return _ACTS[act](y).astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm(x, gamma, beta, num_groups: int = 32, epsilon: float = 1e-5,
                act: str | None = None):

@@ -83,3 +83,36 @@ def test_constant_input_stays_finite():
         assert bool(jnp.isfinite(y).all())
         # constant input -> zero-centered output, beta=0 -> exactly act(0)
         np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-3)
+
+
+def test_group_norm_shifted_matches_shifted_input():
+    """group_norm_shifted(x, t) == group_norm(x + t[:, None, None, :]) — the
+    ResBlock temb fold must be exact up to f32 reassociation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from morphablediffusion_tpu.ops.group_norm import (
+        group_norm,
+        group_norm_shifted,
+    )
+
+    B, H, W, C, G = 3, 8, 8, 64, 8
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.float32)
+    t = jax.random.normal(jax.random.key(1), (B, C), jnp.float32) * 2.0
+    gamma = jax.random.normal(jax.random.key(2), (C,), jnp.float32) + 1.0
+    beta = jax.random.normal(jax.random.key(3), (C,), jnp.float32)
+
+    for act in (None, "silu", "relu"):
+        a = group_norm(x + t[:, None, None, :], gamma, beta, G, 1e-5, act)
+        b = group_norm_shifted(x, t, gamma, beta, G, 1e-5, act)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    # bf16 storage path (the in-model dtype)
+    xb = x.astype(jnp.bfloat16)
+    tb = t.astype(jnp.bfloat16)
+    a = group_norm(xb + tb[:, None, None, :], gamma, beta, G, 1e-5, "silu")
+    b = group_norm_shifted(xb, tb, gamma, beta, G, 1e-5, "silu")
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), rtol=2e-2, atol=2e-2)
