@@ -197,11 +197,11 @@ def attention(q, k, v, num_heads):
     """Multi-head attention core. q/k/v: (B, L, H*D) -> (B, Lq, H*D).
 
     Self-attention at L >= 1024 runs the Pallas TPU flash-attention kernel
-    with measured block sizes (block_q=512, block_k=1024): the XLA path
+    with measured block sizes (block_q=block_k=1024): the XLA path
     materializes the (B, H, L, L) fp32 logits in HBM (~1 GB per block here).
-    Measured on v5e per call at B=32, H=8, L=1024, hd=40: XLA ~5.7 ms,
-    flash(defaults) ~8.4 ms, flash(tuned) ~0.5 ms. Shorter L (256/64) and
-    the L_kv=1 CLIP cross-attention stay on XLA, which wins there.
+    Measured on v5e per call at B=32, H=8, L=1024, hd=40: XLA ~3.0 ms,
+    flash(defaults) ~8.4 ms, flash(1024/1024) ~0.95 ms. Shorter L (256/64)
+    and the L_kv=1 CLIP cross-attention stay on XLA, which wins there.
     MDTPU_NO_FLASH_ATTENTION=1 forces the XLA path everywhere.
     """
     B, Lq, inner = q.shape
@@ -215,7 +215,7 @@ def attention(q, k, v, num_heads):
     use_flash = (
         jax.default_backend() in ("tpu", "axon")
         and min(Lq, Lk) >= 1024
-        and Lq % 512 == 0
+        and Lq % 1024 == 0
         and Lk % 1024 == 0
         and not os.environ.get("MDTPU_NO_FLASH_ATTENTION")
     )
@@ -225,7 +225,10 @@ def attention(q, k, v, num_heads):
             flash_attention,
         )
 
-        bq, bk = 512, 1024
+        # measured per call at B=32, H=8, L=1024, hd=40: 1024/1024 0.95 ms,
+        # 512/1024 1.14, 256/1024 1.23, 512/512 1.28; padding hd 40->128
+        # does NOT help (the kernel's lane padding already covers it)
+        bq, bk = 1024, 1024
         bs = BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk,

@@ -96,19 +96,30 @@ class MaskedInstanceNorm(nn.Module):
         # profile. E[x^2] - E[x]^2 reads the bf16 conv output once in a
         # fused convert+multiply+reduce; the max(.., 0) guards the usual
         # cancellation (activations are near zero-mean, eps=1e-3 is large).
+        # Stats accumulate in f32 INSIDE the reduce (dtype=f32) over
+        # storage-dtype products: the 0/1 mask product is exact in bf16 and
+        # the x*x rounding (~0.4% on E[x^2]) is far below the norm's
+        # eps=1e-3. Crucially no f32 VIEW of x exists, so XLA cannot CSE a
+        # materialized f32 copy of the 48^3 volume between stats and apply
+        # (profiled: f32 conv outputs + three 0.2 ms relayout copies per
+        # site). The apply is a per-(B, C) affine in the storage dtype —
+        # the output is cast there anyway.
         C = x.shape[-1]
-        xf = x.astype(jnp.float32)
-        of = occ.astype(jnp.float32)
-        n = jnp.maximum(jnp.sum(of, axis=(1, 2, 3), keepdims=True), 1.0)
-        s1 = jnp.sum(xf * of, axis=(1, 2, 3), keepdims=True)
-        s2 = jnp.sum(xf * xf * of, axis=(1, 2, 3), keepdims=True)
+        of = occ.astype(x.dtype)  # 0/1
+        n = jnp.maximum(
+            jnp.sum(of, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32), 1.0
+        )
+        s1 = jnp.sum(x * of, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+        s2 = jnp.sum(x * x * of, axis=(1, 2, 3), keepdims=True,
+                     dtype=jnp.float32)
         mean = s1 / n
         var = jnp.maximum(s2 / n - mean * mean, 0.0)
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         a = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (xf - mean) * a + bias
-        return (y * of).astype(x.dtype)
+        b = bias - mean * a
+        y = x * a.astype(x.dtype) + b.astype(x.dtype)
+        return y * of
 
 
 class MeshVoxelNet(nn.Module):
