@@ -72,6 +72,13 @@ def main():
         like = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
         params = import_torch_checkpoint(ckpt, cfg.model, like=like)
         params = jax.device_put(params)
+    else:
+        print(
+            "# WARNING: params are ZEROS (FLOPs-identical, but value-dependent"
+            " numerics untested here; set BENCH_REAL_WEIGHTS=1 for imported"
+            " weights — see artifacts/REAL_WEIGHTS.md for that run's numbers)",
+            file=sys.stderr,
+        )
 
     # serving configuration: bf16 matmul/conv weights (fp32 norm params)
     if os.environ.get("BENCH_F32_PARAMS") != "1":

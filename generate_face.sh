@@ -1,11 +1,17 @@
 #!/bin/bash
 # In-the-wild avatar pipeline (reference parity: /root/reference/generate_face.sh).
 #
-# Stages 1+2 (host-side FLAME fitting) run the pinned third_party checkouts
-# (bash third_party/setup_mesh_fitting.sh once — see third_party/README.md),
-# followed by the identity retarget that replaces the reference's tracker
-# patch; stage 3 is the TPU diffusion sampler. Skip fitting entirely by
-# passing a ready mesh via MESH=path.ply.
+# Stages 1+2 (FLAME mesh fitting) run IN-TREE by default via
+# morphablediffusion_tpu.apps.fit_face — identity from INPUT_IMG,
+# expression/pose from EXP_IMG, fitted with the repo's own JAX FLAME stack
+# (fitting/). Only the user-downloaded FLAME2020 assets are needed
+# (download_data.sh), so the whole pipeline runs on a zero-egress machine —
+# the reference instead vendors MICA + metrical-tracker checkouts.
+#
+# FITTER=external switches to the pinned MICA/metrical-tracker checkouts
+# (bash third_party/setup_mesh_fitting.sh once; third_party/README.md) for
+# reference-exact identity prediction. Skip fitting entirely by passing a
+# ready mesh via MESH=path.ply.
 #
 # Usage: INPUT_IMG=demo/person.png EXP_IMG=demo/exp.png bash generate_face.sh
 set -e
@@ -14,14 +20,29 @@ INPUT_IMG=${INPUT_IMG:-demo/input.png}
 EXP_IMG=${EXP_IMG:-demo/exp.png}
 OUTPUT_DIR=${OUTPUT_DIR:-output}
 CKPT=${CKPT:-ckpt/facescape_flame.ckpt}
+FITTER=${FITTER:-intree}
+FLAME_PKL=${FLAME_PKL:-assets/FLAME2020/generic_model.pkl}
+FLAME_LMK=${FLAME_LMK:-assets/landmark_embedding.npy}
+KPT_WEIGHTS=${KPT_WEIGHTS:-}
 MICA_DIR=${MICA_DIR:-third_party/MICA}
 TRACKER_DIR=${TRACKER_DIR:-third_party/metrical-tracker}
 TRACKER_CFG=${TRACKER_CFG:-configs/actors/config.yml}
 TRACKER_ACTOR=${TRACKER_ACTOR:-config}
 
-if [ -z "$MESH" ]; then
+if [ -z "$MESH" ] && [ "$FITTER" = "intree" ]; then
+    [ -f "$FLAME_PKL" ] || { echo "missing $FLAME_PKL — run download_data.sh (FLAME registration required), or use FITTER=external / MESH=<fitted.ply>"; exit 1; }
+    mkdir -p "$OUTPUT_DIR"
+    python -m morphablediffusion_tpu.apps.fit_face \
+        --input_img "$INPUT_IMG" --exp_img "$EXP_IMG" \
+        --flame "$FLAME_PKL" --lmk_embedding "$FLAME_LMK" \
+        ${KPT_WEIGHTS:+--kpt_weights "$KPT_WEIGHTS"} \
+        ${INPUT_LANDMARKS:+--input_landmarks "$INPUT_LANDMARKS"} \
+        ${EXP_LANDMARKS:+--exp_landmarks "$EXP_LANDMARKS"} \
+        --out "$OUTPUT_DIR/fitted_mesh.ply"
+    MESH="$OUTPUT_DIR/fitted_mesh.ply"
+elif [ -z "$MESH" ]; then
     for d in "$MICA_DIR" "$TRACKER_DIR"; do
-        [ -d "$d" ] || { echo "missing $d — run: bash third_party/setup_mesh_fitting.sh (or pass MESH=<fitted.ply>)"; exit 1; }
+        [ -d "$d" ] || { echo "missing $d — run: bash third_party/setup_mesh_fitting.sh (or use FITTER=intree / MESH=<fitted.ply>)"; exit 1; }
     done
     ABS_OUT=$(cd "$(dirname "$OUTPUT_DIR")" 2>/dev/null && pwd)/$(basename "$OUTPUT_DIR") || ABS_OUT=$PWD/$OUTPUT_DIR
     mkdir -p "$ABS_OUT"

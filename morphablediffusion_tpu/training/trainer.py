@@ -133,14 +133,26 @@ class Trainer:
         abstract = jax.eval_shape(self.tx(params).init, params)
         return jax.tree.map(leaf_sharding, abstract)
 
-    def init_state(self, batch, seed: Optional[int] = None) -> TrainState:
+    def init_state(self, batch, seed: Optional[int] = None,
+                   zeros: bool = False) -> TrainState:
+        """Build the initial TrainState. With ``zeros=True`` params come from
+        ``eval_shape`` + zeros instead of running the init graph — the shapes,
+        dtypes, optimizer state, and train-step graph are identical, but
+        nothing model-sized compiles (the multichip dryrun's path: on this
+        box's single host CPU the flagship init graph alone compiles for
+        minutes)."""
         seed = self.config.train.seed if seed is None else seed
         root = jax.random.key(seed)
         names = ["params", "time", "noise", "view", "vae", "drop"]
         rngs = dict(zip(names, jax.random.split(root, len(names))))
-        params = jax.jit(
-            lambda r, b: self.model.init(r, b, method="init_fn")
-        )(rngs, batch)
+        init = lambda r, b: self.model.init(r, b, method="init_fn")
+        if zeros:
+            params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(init, rngs, batch),
+            )
+        else:
+            params = jax.jit(init)(rngs, batch)
         params = self.cast_frozen(params)
         self._tx, self._sched = make_optimizer(self.config, params)
         opt_state = jax.jit(

@@ -201,3 +201,24 @@ def load_mesh_vertices(path) -> np.ndarray:
         except (ValueError, pickle.UnpicklingError):
             return np.loadtxt(path)
     raise ValueError(f"unsupported mesh format: {path}")
+
+
+def save_ply(path, verts, faces=None):
+    """ASCII PLY writer (the fitted-mesh artifact generate_face.sh passes
+    between the fitting stage and the sampler, mirroring the reference
+    tracker's output mesh/00001.ply)."""
+    verts = np.asarray(verts, dtype=np.float32)
+    faces = None if faces is None else np.asarray(faces, dtype=np.int32)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if faces is not None:
+            f.write(f"element face {len(faces)}\n")
+            f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        if faces is not None:
+            for t in faces:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")

@@ -30,6 +30,10 @@ def tiny_config(view_num=2, projection="perspective"):
             model_channels=32,
             num_heads=4,
             volume_dims=(8, 16, 32, 64),
+            # remat multiplies XLA:CPU compile time (the backward graph is
+            # re-expanded per block) for zero benefit at tiny shapes; tests
+            # that exercise remat (test_remat) override this explicitly
+            use_checkpoint=False,
         ),
         clip=CLIPConfig(width=64, layers=2, num_heads=2, patch_size=14,
                         output_dim=768),
