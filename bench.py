@@ -37,11 +37,21 @@ def main():
     from morphablediffusion_tpu.utils.config import Config
     from tiny import tiny_batch, tiny_config
 
-    cfg = Config()
+    # BENCH_CONFIG: optional YAML (e.g. configs/thuman.yaml) to bench the
+    # body/orthographic path instead of the default facescape flagship
+    cfg_path = os.environ.get("BENCH_CONFIG", "")
+    if cfg_path:
+        from morphablediffusion_tpu.utils.config import load_config
+
+        cfg = load_config(cfg_path)
+    else:
+        cfg = Config()
     model = MorphableDiffusion(cfg.model)
 
-    # flagship-shaped synthetic batch (B=1, 16 views, 256^2, FLAME-sized mesh)
-    t = tiny_config(view_num=cfg.model.view_num)
+    # flagship-shaped synthetic batch (B=1, 16 views, 256^2, FLAME- or
+    # SMPL-X-sized mesh; orthographic Ks when the config says so)
+    t = tiny_config(view_num=cfg.model.view_num,
+                    projection=cfg.model.projection)
     t.model.image_size = cfg.model.image_size
     t.model.max_vertices = cfg.model.max_vertices
     batch = tiny_batch(t, B=1, with_targets=False)
@@ -119,10 +129,15 @@ def main():
               file=sys.stderr)
     value = min(times)
 
+    name = "e2e_16view_50step_ddim_s"
+    if cfg_path:
+        import pathlib
+
+        name += f"_{pathlib.Path(cfg_path).stem}"
     print(
         json.dumps(
             {
-                "metric": "e2e_16view_50step_ddim_s",
+                "metric": name,
                 "value": round(value, 4),
                 "unit": "s",
                 "vs_baseline": round(TARGET_S / value, 4),

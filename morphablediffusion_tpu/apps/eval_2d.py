@@ -12,8 +12,8 @@ All five reference metrics are computed in-repo:
     published morphable-diffusion checkpoint). The reference uses
     InceptionV3 features (torchmetrics); CLIP-FID is the framework-native
     backend — absolute values are not comparable across feature spaces, but
-    it ranks models the same way. If `torchmetrics` is importable, pass
-    --fid_backend inception for the reference-exact number.
+    it ranks models the same way. The default --fid_backend auto picks the
+    reference-exact inception backend whenever torchmetrics is importable.
   * Re-ID — IR-SE50 ArcFace descriptors (eval/irse.py, weights via
     --reid_weights model_ir_se50.pth), Euclidean distance < --reid_threshold
     (0.6 default, matching the reference's dlib rule :97-108).
@@ -173,10 +173,12 @@ def main(argv=None):
                              "providing the CLIP tower for FID features")
     parser.add_argument("--cfg", type=str, default="",
                         help="model config yaml (CLIP dims for --ckpt)")
-    parser.add_argument("--fid_backend", type=str, default="clip",
-                        choices=["clip", "inception"],
-                        help="clip: framework-native CLIP-FID; inception: "
-                             "reference-exact (needs torchmetrics)")
+    parser.add_argument("--fid_backend", type=str, default="auto",
+                        choices=["auto", "clip", "inception"],
+                        help="inception: reference-exact (torchmetrics, "
+                             "eval_2d_facescape.py:110-139); clip: "
+                             "framework-native CLIP-FID; auto (default): "
+                             "inception when torchmetrics imports, else clip")
     parser.add_argument("--reid_weights", type=str, default="",
                         help="IR-SE50 ArcFace weights (model_ir_se50.pth) "
                              "for the Re-ID rate")
@@ -261,9 +263,20 @@ def main(argv=None):
                 reid_dists.append(float(np.linalg.norm(d[0] - d[1])))
             n_pairs += 1
 
+    fid_backend = flags.fid_backend
+    if fid_backend == "auto":
+        # reference-exact Inception FID whenever torchmetrics is available
+        # (eval_2d_facescape.py:110-139); CLIP-FID otherwise
+        try:
+            import torchmetrics  # noqa: F401
+
+            fid_backend = "inception"
+        except ImportError:
+            fid_backend = "clip"
+
     fid_val = None
-    if real_imgs and (flags.ckpt or flags.fid_backend == "inception"):
-        if flags.fid_backend == "inception":
+    if real_imgs and (flags.ckpt or fid_backend == "inception"):
+        if fid_backend == "inception":
             fid_val = _inception_fid(real_imgs, fake_imgs)
         else:
             enc_params, clip_cfg = _load_clip_params(flags.ckpt, flags.cfg)

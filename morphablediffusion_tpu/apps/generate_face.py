@@ -12,9 +12,10 @@ Run:
       --input_img demo/in.png --exp_img demo/exp.png --mesh mesh.ply \
       --ckpt ckpt/facescape_flame.orbax --output_dir out/
 
-Background removal: if the input has an alpha channel it is used directly;
-otherwise pass --rgba_input_ok to treat it as clean, or preprocess with any
-matting tool (the reference shells out to carvekit, a host-side CUDA dep).
+Background removal: an alpha channel is used directly; plain RGB photos are
+matted in-pipeline (--matting auto: carvekit/rembg if installed, else the
+in-repo color-model matting — preprocessing/matting.py; the reference shells
+out to carvekit, a host-side CUDA dep, generate_face.py:47-69).
 """
 
 from __future__ import annotations
@@ -66,11 +67,31 @@ def align_mica_mesh(verts: np.ndarray) -> np.ndarray:
     return (CAPSTUDIO_AXES @ v.T).T
 
 
-def load_input_image(path, image_size=256):
-    """RGB(A) file -> white-composited [-1,1] float (S, S, 3)."""
+def load_input_image(path, image_size=256, matting="auto"):
+    """RGB(A) file -> white-composited [-1,1] float (S, S, 3).
+
+    Non-alpha inputs are matted in-pipeline (reference parity:
+    generate_face.py:47-69 runs carvekit inside the CLI) — see
+    preprocessing/matting.py for the backend ladder; ``matting='none'``
+    reproduces the old --rgba_input_ok behavior.
+    """
+    from PIL import Image
+
     from morphablediffusion_tpu.data.common import load_rgba_white
 
-    return load_rgba_white(path, image_size)
+    has_alpha = np.asarray(Image.open(path)).shape[-1] == 4
+    if has_alpha or matting == "none":
+        return load_rgba_white(path, image_size)
+
+    from morphablediffusion_tpu.preprocessing.matting import matte
+
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    rgba = matte(rgb, backend=matting)
+    img = rgba.astype(np.float32) / 255.0
+    alpha = img[..., 3:]
+    comp = np.uint8((img[..., :3] * alpha + 1.0 - alpha) * 255.0)
+    pil = Image.fromarray(comp).resize((image_size,) * 2, Image.BICUBIC)
+    return np.asarray(pil).astype(np.float32) / 255.0 * 2.0 - 1.0
 
 
 def build_inference_batch(input_img, Ks, RTs, vertices, max_vertices):
@@ -156,6 +177,12 @@ def main(argv=None):
                              "visible TPU chips (multi-chip inference)")
     parser.add_argument("--f32_params", action="store_true",
                         help="keep fp32 weights (default: bf16 serving cast)")
+    parser.add_argument("--matting", type=str, default="auto",
+                        choices=["auto", "native", "none"],
+                        help="background removal for non-alpha inputs: "
+                             "auto = carvekit/rembg if installed else the "
+                             "in-repo color-model matting; none = treat the "
+                             "photo as already clean")
     flags = parser.parse_args(argv)
 
     import jax
@@ -171,7 +198,8 @@ def main(argv=None):
 
     cfg = load_config(flags.cfg)
 
-    input_img = load_input_image(flags.input_img, cfg.model.image_size)
+    input_img = load_input_image(flags.input_img, cfg.model.image_size,
+                                 matting=flags.matting)
 
     if flags.camera_trajectory == "real":
         cams = read_pickle(flags.trajectory_pkl)

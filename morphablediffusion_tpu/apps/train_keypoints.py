@@ -45,13 +45,10 @@ def _labels_from_json(path: Path):
     return {k: np.asarray(v, np.float32)[:, :2] for k, v in data.items()}
 
 
-def _labels_from_mesh(spec_path: Path, image_dir: Path, mesh_path: Path,
-                      size: int):
-    """Project 68 mesh landmarks into every view via cameras.json."""
+def _landmarks_3d(spec, mesh_path: str):
     from morphablediffusion_tpu.utils.mesh_io import load_mesh
 
-    spec = json.loads(spec_path.read_text())
-    verts, faces = load_mesh(str(mesh_path))
+    verts, faces = load_mesh(mesh_path)
     pts = []
     for lm in spec:
         if isinstance(lm, int):
@@ -60,12 +57,34 @@ def _labels_from_mesh(spec_path: Path, image_dir: Path, mesh_path: Path,
             f, w0, w1, w2 = lm
             tri = verts[np.asarray(faces[int(f)])]
             pts.append(w0 * tri[0] + w1 * tri[1] + w2 * tri[2])
-    pts = np.asarray(pts, np.float32)  # (68, 3)
+    return np.asarray(pts, np.float32)  # (68, 3)
+
+
+def _labels_from_mesh(spec_path: Path, image_dir: Path, mesh_path: Path,
+                      size: int):
+    """Project 68 mesh landmarks into every view via cameras.json.
+
+    ``--mesh`` may contain ``{subject}``/``{exp}`` placeholders resolved
+    from each cameras.json's relative path (<subject>/<exp>/cameras.json),
+    so one invocation trains across every subject of a dataset tree."""
+    spec = json.loads(spec_path.read_text())
+    template = str(mesh_path)
+    cache = {}
 
     labels = {}
     for cam_file in sorted(image_dir.rglob("cameras.json")):
         cams = json.loads(cam_file.read_text())
         rel = cam_file.parent.relative_to(image_dir)
+        resolved = template
+        if "{subject}" in template or "{exp}" in template:
+            parts = rel.parts
+            resolved = template.format(
+                subject=parts[0] if parts else "",
+                exp=parts[1] if len(parts) > 1 else "",
+            )
+        if resolved not in cache:
+            cache[resolved] = _landmarks_3d(spec, resolved)
+        pts = cache[resolved]
         for view, cam in cams.items():
             K = np.asarray(cam["intrinsics"], np.float32)
             RT = np.asarray(cam["extrinsics"], np.float32)

@@ -14,6 +14,8 @@ from morphablediffusion_tpu.utils.checkpoint import (
     cast_params_for_serving,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @dataclasses.dataclass
 class _State:

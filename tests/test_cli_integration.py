@@ -16,6 +16,9 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
+
 TINY_YAML = """
 model:
   view_num: 2

@@ -164,3 +164,21 @@ def test_eval_2d_all_five_metrics(eval_fixture, tmp_path):
     assert result["pck@0.2"] == 1.0
     assert result["ssim"] > 0.99
     assert "lpips" in result  # present (null without the external package)
+
+
+def test_reid_eer_threshold():
+    """EER calibration math: separable distributions -> threshold between
+    them with ~0 EER; the threshold feeds eval_2d --reid_threshold."""
+    from morphablediffusion_tpu.apps.calibrate_reid import eer_threshold
+
+    rng = np.random.default_rng(0)
+    same = rng.normal(0.4, 0.05, 300)
+    diff = rng.normal(1.1, 0.08, 300)
+    t, eer = eer_threshold(same, diff)
+    assert 0.55 < t < 0.95 and eer < 0.01
+
+    # overlapping distributions: EER reflects the overlap
+    same2 = rng.normal(0.8, 0.2, 300)
+    diff2 = rng.normal(1.0, 0.2, 300)
+    t2, eer2 = eer_threshold(same2, diff2)
+    assert 0.7 < t2 < 1.1 and 0.15 < eer2 < 0.5

@@ -28,6 +28,9 @@ from tests.test_golden_reference import (  # noqa: F401 (fixture)
 )
 from tests.test_mesh_voxel_fine import SparseConvNetOracle
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def ref_spatial_volume_cls(ref_modules):  # noqa: F811

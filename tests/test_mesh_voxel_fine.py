@@ -17,6 +17,9 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
+
 
 # --------------------------------------------------------------------- #
 # torch oracle

@@ -19,6 +19,11 @@ from pathlib import Path
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 class _IndexDataset:
     def __init__(self, n):

@@ -172,3 +172,33 @@ def test_load_obj_ply_faces(tmp_path):
     )
     v, f = load_ply(ply)
     assert v.shape == (3, 3) and f.shape == (1, 3)
+
+
+def test_matting_synthetic_composite(tmp_path):
+    """Native matting must recover a centered subject on a uniform-ish
+    background (the in-pipeline carvekit replacement,
+    reference generate_face.py:47-69)."""
+    from morphablediffusion_tpu.preprocessing.matting import matte
+
+    img = np.full((128, 128, 3), 200, np.uint8)
+    yy, xx = np.mgrid[0:128, 0:128]
+    blob = ((yy - 64) ** 2 + (xx - 64) ** 2) < 40**2
+    img[blob] = np.stack(
+        [80 + (yy[blob] % 17), 40 + (xx[blob] % 11),
+         np.full(int(blob.sum()), 60)], -1,
+    )
+    rgba = matte(img, backend="native")
+    assert rgba.shape == (128, 128, 4) and rgba.dtype == np.uint8
+    alpha = rgba[..., 3] > 127
+    iou = (alpha & blob).sum() / (alpha | blob).sum()
+    assert iou > 0.75, iou
+
+    # the generate_face input path: a plain JPEG gets matted + composited
+    from morphablediffusion_tpu.apps.generate_face import load_input_image
+
+    p = tmp_path / "plain.jpg"
+    Image.fromarray(img).save(p)
+    out = load_input_image(str(p), image_size=64, matting="native")
+    assert out.shape == (64, 64, 3)
+    # background corners must be near white after compositing
+    assert out[:4, :4].mean() > 0.8 and out[-4:, -4:].mean() > 0.8

@@ -12,6 +12,11 @@ from tiny import tiny_batch, tiny_config
 
 from morphablediffusion_tpu.models.diffusion import MorphableDiffusion
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def _loss_and_grads(cfg, batch, params=None):
     model = MorphableDiffusion(cfg.model)

@@ -19,6 +19,11 @@ from morphablediffusion_tpu.models.spatial_volume import (
 from morphablediffusion_tpu.ops import geometry
 from morphablediffusion_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def _cameras(B, N, S):
     poses = []

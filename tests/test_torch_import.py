@@ -17,6 +17,9 @@ from morphablediffusion_tpu.utils import torch_import as ti
 
 from tiny import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def abstract_tree():

@@ -16,6 +16,10 @@ from morphablediffusion_tpu.training.trainer import (
 
 from tiny import tiny_batch, tiny_config
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_lambda_linear_schedule():
     s = lambda_linear_schedule(5e-5, warm_up_steps=100, cycle_length=100000,

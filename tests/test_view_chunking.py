@@ -18,6 +18,9 @@ from morphablediffusion_tpu.sampling import SyncDDIMSampler
 
 from tiny import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -18,6 +18,11 @@ from morphablediffusion_tpu.models.diffusion import MorphableDiffusion
 from morphablediffusion_tpu.parallel.mesh import create_view_mesh, view_sharding
 from morphablediffusion_tpu.sampling import SyncDDIMSampler
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def test_view_sharded_sampling_matches_replicated():
     n_dev = jax.device_count()
