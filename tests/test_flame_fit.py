@@ -131,3 +131,36 @@ def test_fit_two_photos_retargets_identity(rng):
     err = np.linalg.norm(verts - np.asarray(target), axis=-1).mean()
     extent = float(np.ptp(np.asarray(target), axis=0).max())
     assert err < 0.12 * extent, (err, extent, info)
+
+
+def test_synthetic_flame_assets_roundtrip(tmp_path):
+    """tools/make_synthetic_flame.py writes FLAME2020-format files that
+    load_model consumes: contour-first ibug-68 landmark layout, finite
+    forward (the zero-egress stand-in for the licensed download that
+    generate_face.sh stages 1-2 fit against)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    repo = Path(__file__).resolve().parents[1]
+    subprocess.run(
+        [sys.executable, str(repo / "tools/make_synthetic_flame.py"),
+         "--out", str(tmp_path), "--vertices", "128", "--faces", "64"],
+        check=True,
+    )
+    from morphablediffusion_tpu.fitting.flame import (
+        flame_forward,
+        flame_landmarks,
+        load_model,
+    )
+
+    m = load_model(str(tmp_path / "generic_model.pkl"),
+                   str(tmp_path / "landmark_embedding.npy"))
+    assert m.has_dynamic_contour
+    v = flame_forward(m, jnp.zeros(m.n_shape), jnp.zeros(m.n_exp),
+                      jnp.zeros(m.num_joints * 3))
+    lm = flame_landmarks(m, v, jnp.zeros(m.num_joints * 3))
+    assert v.shape == (128, 3) and lm.shape == (68, 3)
+    assert bool(jnp.isfinite(v).all()) and bool(jnp.isfinite(lm).all())
