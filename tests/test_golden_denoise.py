@@ -175,27 +175,42 @@ def test_full_denoise_step_golden(ref_step_modules, rng):
         "bounds": bounds,
     }
 
-    # ---------------- reference denoise step ----------------
+    # ---------------- reference denoise trajectory ----------------
+    # three chained steps (index, index-1, index-2) with the eta-noise term
+    # zeroed on both sides (is_step0 / sigma_noise=0) so the comparison is
+    # the deterministic latent trajectory: volume rebuild from the EVOLVING
+    # latents -> CFG UNet -> DDIM update, per step
+    # (morphable_diffusion.py:701-739).
+    n_traj = 3
+    ref_traj = []
+    ref_e_t0 = None
     with torch.no_grad():
-        t_embed_t = m.embed_time(torch.from_numpy(t_step))
-        spatial_volume = ref_sv.construct_spatial_volume(
-            torch.from_numpy(x_noisy), t_embed_t, torch.from_numpy(v_embed),
-            batch_t,
-        )
+        x_cur = torch.from_numpy(x_noisy)
         target_indices = torch.arange(N)[None].repeat(B, 1)
-        clip_, vol_feats_, x_concat_ = m.get_target_view_feats(
-            torch.from_numpy(x_input), spatial_volume,
-            torch.from_numpy(clip_embed), t_embed_t,
-            torch.from_numpy(v_embed), target_indices, batch_t,
-        )
-        x_flat = torch.from_numpy(x_noisy).reshape(B * N, 4, h, h)
-        t_flat = torch.from_numpy(t_step).repeat_interleave(N)
-        e_t = wrapper.predict_with_unconditional_scale(
-            x_flat, t_flat, clip_, vol_feats_, x_concat_, cfg_scale
-        ).view(B, N, 4, h, h)
-        ref_x_prev = samp.denoise_apply_impl(
-            torch.from_numpy(x_noisy), index, e_t, is_step0=True
-        ).numpy()
+        for s in range(n_traj):
+            idx_s = index - s
+            t_s = torch.full((B,), int(samp.ddim_timesteps[idx_s]),
+                             dtype=torch.int64)
+            t_embed_t = m.embed_time(t_s)
+            spatial_volume = ref_sv.construct_spatial_volume(
+                x_cur, t_embed_t, torch.from_numpy(v_embed), batch_t
+            )
+            clip_, vol_feats_, x_concat_ = m.get_target_view_feats(
+                torch.from_numpy(x_input), spatial_volume,
+                torch.from_numpy(clip_embed), t_embed_t,
+                torch.from_numpy(v_embed), target_indices, batch_t,
+            )
+            x_flat = x_cur.reshape(B * N, 4, h, h)
+            t_flat = t_s.repeat_interleave(N)
+            e_t = wrapper.predict_with_unconditional_scale(
+                x_flat, t_flat, clip_, vol_feats_, x_concat_, cfg_scale
+            ).view(B, N, 4, h, h)
+            if s == 0:
+                ref_e_t0 = e_t
+            x_cur = samp.denoise_apply_impl(x_cur, idx_s, e_t, is_step0=True)
+            ref_traj.append(x_cur.numpy())
+        e_t = ref_e_t0
+        ref_x_prev = ref_traj[0]
 
     # ---------------- ours, with imported weights ----------------
     cfg = tiny_config(view_num=N)
@@ -253,3 +268,26 @@ def test_full_denoise_step_golden(ref_step_modules, rng):
     # end-to-end per-step latent parity (VERDICT r2 item 7: < 1e-2 rel)
     denom = np.maximum(np.abs(ref_x_prev), 1e-3)
     assert np.max(np.abs(got - ref_x_prev) / denom) < 1e-2
+
+    # ---------------- multi-step trajectory parity ----------------
+    # continue the chain for the remaining steps and require the FINAL
+    # latent after n_traj chained steps to match, proving per-step error
+    # does not compound through the volume-rebuild -> UNet -> update loop
+    # (the trajectory comparison the published-weights claim rests on).
+    x_cur_j = x_prev
+    for s in range(1, n_traj):
+        idx_s = index - s
+        t_s = jnp.full((B,), int(samp.ddim_timesteps[idx_s]), jnp.int32)
+        eps_s = model.apply(
+            imported, x_cur_j, t_s, jnp.asarray(clip_embed), x_in_j,
+            jnp.asarray(v_embed), batch_j, cfg_scale,
+            method="predict_eps_cfg",
+        )
+        x_cur_j = schedules.ddim_step(
+            x_cur_j, eps_s, jnp.asarray(idx_s), dd,
+            sigma_noise=jnp.zeros_like(x_cur_j),
+        )
+        got_s = np.moveaxis(np.asarray(x_cur_j), -1, 2)
+        denom_s = np.maximum(np.abs(ref_traj[s]), 1e-3)
+        rel = np.max(np.abs(got_s - ref_traj[s]) / denom_s)
+        assert rel < 1e-2, (s, rel)
