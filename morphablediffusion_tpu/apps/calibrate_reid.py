@@ -14,9 +14,13 @@ as ``eval_2d --reid_threshold``.
       --out runs/reid_calibration.json
 
 Pair construction: same = two random views (possibly different expressions)
-of one subject; different = views of two subjects. With ``--embedder
-landmark`` the descriptor is the flattened penultimate feature map of a
-trained landmark net (``--weights``) — a weights-free fallback that
+of one subject; different = views of two subjects. ``--pairing same_view``
+holds the CAMERA fixed within each pair (same = one subject, same view id,
+different expression; different = two subjects, same view id) — this is the
+deployed metric's geometry: eval_2d compares each generated view against
+ground truth at the same camera, never across cameras. With ``--embedder
+landmark`` the descriptor is the spatially-pooled penultimate feature map
+of a trained landmark net (``--weights``) — a weights-free fallback that
 demonstrates the calibration pipeline end to end on synthetic data.
 
 Outputs a JSON artifact: per-class distance stats, the EER threshold, the
@@ -93,10 +97,19 @@ def _landmark_descriptors(imgs, weights: str, size: int):
     from morphablediffusion_tpu.eval.keypoint_net import load_params
 
     net, params = load_params(weights, size)
-    coords, maps = net.apply(params, jnp.asarray(imgs))
-    # heatmaps carry identity-specific geometry; the expected coords are a
-    # compact 136-d descriptor of facial structure
-    d = np.asarray(coords).reshape(len(imgs), -1)
+    # penultimate feature map (the last pre-head GroupNorm output): unlike
+    # the landmark COORDS — which are near-identical across identities by
+    # design — these activations encode the appearance the net used to find
+    # the landmarks, which is where identity lives. Spatially pooled and
+    # l2-normalized -> a compact appearance descriptor.
+    _, state = net.apply(
+        params, jnp.asarray(imgs),
+        capture_intermediates=lambda mdl, _: type(mdl).__name__ == "GroupNorm",
+    )
+    inter = state["intermediates"]
+    last_gn = sorted(k for k in inter if k.startswith("GroupNorm"))[-1]
+    feats = np.asarray(inter[last_gn]["__call__"][0])  # (B, h, w, C)
+    d = feats.mean(axis=(1, 2))
     d = d - d.mean(axis=1, keepdims=True)
     return d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-9)
 
@@ -120,6 +133,8 @@ def main(argv=None):
     parser.add_argument("--weights", type=str, default="",
                         help="landmark-net weights for --embedder landmark")
     parser.add_argument("--pairs", type=int, default=200)
+    parser.add_argument("--pairing", type=str, default="any_view",
+                        choices=["any_view", "same_view"])
     parser.add_argument("--image_size", type=int, default=112)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--plot", type=str, default="")
@@ -135,15 +150,37 @@ def main(argv=None):
         return paths[rng.integers(len(paths))]
 
     same_pairs, diff_pairs = [], []
-    for _ in range(flags.pairs):
-        s = names[rng.integers(len(names))]
-        a = pick(s)
-        b = pick(s)
-        while len(subjects[s]) > 1 and b == a:
+    if flags.pairing == "same_view":
+        # {subject: {view_dir_name: [paths across expressions]}}
+        by_view = {
+            s: {} for s in names
+        }
+        for s in names:
+            for p in subjects[s]:
+                by_view[s].setdefault(p.parent.name, []).append(p)
+        for _ in range(flags.pairs):
+            s = names[rng.integers(len(names))]
+            views = [v for v, ps in by_view[s].items() if len(ps) > 1]
+            v = views[rng.integers(len(views))]
+            a, b = rng.choice(len(by_view[s][v]), size=2, replace=False)
+            same_pairs.append((by_view[s][v][a], by_view[s][v][b]))
+            s1, s2 = rng.choice(len(names), size=2, replace=False)
+            shared = sorted(set(by_view[names[s1]]) & set(by_view[names[s2]]))
+            v = shared[rng.integers(len(shared))]
+            diff_pairs.append((
+                by_view[names[s1]][v][rng.integers(len(by_view[names[s1]][v]))],
+                by_view[names[s2]][v][rng.integers(len(by_view[names[s2]][v]))],
+            ))
+    else:
+        for _ in range(flags.pairs):
+            s = names[rng.integers(len(names))]
+            a = pick(s)
             b = pick(s)
-        same_pairs.append((a, b))
-        s1, s2 = rng.choice(len(names), size=2, replace=False)
-        diff_pairs.append((pick(names[s1]), pick(names[s2])))
+            while len(subjects[s]) > 1 and b == a:
+                b = pick(s)
+            same_pairs.append((a, b))
+            s1, s2 = rng.choice(len(names), size=2, replace=False)
+            diff_pairs.append((pick(names[s1]), pick(names[s2])))
 
     paths = sorted({p for ab in same_pairs + diff_pairs for p in ab})
     idx = {p: i for i, p in enumerate(paths)}
@@ -168,6 +205,7 @@ def main(argv=None):
 
     result = {
         "embedder": flags.embedder,
+        "pairing": flags.pairing,
         "weights": flags.reid_weights or flags.weights or "RANDOM-INIT",
         "n_pairs": flags.pairs,
         "same": {"mean": float(same.mean()), "std": float(same.std())},

@@ -125,6 +125,13 @@ def main():
     ap.add_argument("--points", type=int, default=24000)
     ap.add_argument("--mesh_vertices", type=int, default=1600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--mark_landmarks", type=str, default="",
+        help="landmarks.json (tools/make_synthetic_landmarks.py): paint a "
+             "dark dot at each landmark so they are visually defined "
+             "features shared across subjects, like real facial landmarks "
+             "are for mmpose — the faithful stand-in for PCK calibration",
+    )
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -140,12 +147,24 @@ def main():
     rng = np.random.default_rng(args.seed)
     elevs = rng.uniform(-12, 12, args.views)
 
+    lm_near = None
+    if args.mark_landmarks:
+        lm_ids = json.loads(Path(args.mark_landmarks).read_text())
+        u_lm = fibonacci_sphere(args.mesh_vertices)[np.asarray(lm_ids)]
+        u_pts = fibonacci_sphere(args.points)
+        # render points within ~3.4 degrees of a landmark direction (the
+        # deformation field is shared between render and mesh points, so
+        # u-space proximity survives onto the deformed surface)
+        lm_near = (u_pts @ u_lm.T).max(axis=1) > np.cos(0.06)
+
     for si in range(args.subjects):
         subject = str(si + 1).zfill(3)
         for ei in range(args.expressions):
             exp = str(ei + 1).zfill(2)
             pts, alb = head_points(1000 + si, ei, args.points)
             normals = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+            if lm_near is not None:
+                alb[lm_near] = alb[lm_near] * 0.1 + [0.25, 0.02, 0.02]
 
             d = out / "data" / subject / exp
             cams = {}
