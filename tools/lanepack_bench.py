@@ -14,6 +14,13 @@ This measures that head-to-head at the real model shapes — the stride-1
 Numerical identity of the packing is asserted exactly (verified on CPU:
 max abs diff 0.0).
 
+MEASURED NEGATIVE (TPU v5e, 2026-08-19 — see PERF.md): packed loses at
+both stages (0.131 vs 0.032 ms stage1; 2.071 vs 1.511 ms stage2). XLA
+already folds the 27*64 taps*channels into the matmul contracting dim —
+full MXU tiles regardless of C=64 — and feature_group_count splits that
+into two half-size matmuls it tiles worse. Kept as the reproducible
+record; do not adopt.
+
 Run on the TPU (serialize with other device jobs):
   PYTHONPATH=/root/.axon_site:/root/repo python tools/lanepack_bench.py
 """
