@@ -182,3 +182,59 @@ def test_reid_eer_threshold():
     diff2 = rng.normal(1.0, 0.2, 300)
     t2, eer2 = eer_threshold(same2, diff2)
     assert 0.7 < t2 < 1.1 and 0.15 < eer2 < 0.5
+
+
+def test_calibrate_reid_same_view_pairing(tmp_path):
+    """End-to-end calibrate_reid with --pairing same_view: pairs hold the
+    camera fixed (the deployed metric's geometry — eval_2d compares each
+    generated view against GT at the SAME camera), the landmark-feature
+    embedder runs, and the JSON artifact records distributions + pairing."""
+    import jax
+    import jax.numpy as jnp
+
+    from morphablediffusion_tpu.apps.calibrate_reid import main as cal_main
+    from morphablediffusion_tpu.eval.keypoint_net import (
+        LandmarkNet,
+        save_params,
+    )
+
+    rng = np.random.default_rng(0)
+    # 2 subjects x 2 expressions x 3 shared view ids; subject-specific base
+    # color so identity signal exists even at random-init features
+    for si, sub in enumerate(["001", "002"]):
+        base = rng.integers(40, 200, 3)
+        for exp in ["01", "02"]:
+            d = tmp_path / "data" / sub / exp
+            for v in range(3):
+                img = np.clip(
+                    base + rng.integers(-20, 20, (32, 32, 3)), 0, 255
+                ).astype(np.uint8)
+                rgba = np.concatenate(
+                    [img, np.full((32, 32, 1), 255, np.uint8)], -1
+                )
+                vd = d / f"view_{str(v).zfill(5)}"
+                vd.mkdir(parents=True)
+                Image.fromarray(rgba, "RGBA").save(vd / "rgba_colorcalib.png")
+
+    net = LandmarkNet()
+    params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    weights = tmp_path / "net.msgpack"
+    save_params(str(weights), params)
+
+    out = tmp_path / "cal.json"
+    cal_main([
+        "--data_dir", str(tmp_path / "data"),
+        "--embedder", "landmark",
+        "--weights", str(weights),
+        "--image_size", "32",
+        "--pairs", "16",
+        "--pairing", "same_view",
+        "--out", str(out),
+    ])
+    result = json.loads(out.read_text())
+    assert result["pairing"] == "same_view"
+    assert result["n_pairs"] == 16
+    for cls in ("same", "diff"):
+        assert np.isfinite(result[cls]["mean"])
+    assert np.isfinite(result["eer_threshold"])
+    assert 0.0 <= result["eer"] <= 0.5
