@@ -260,11 +260,29 @@ class CrossAttention(nn.Module):
             feats, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32,
             name=name,
         )
-        q = dense(inner, "to_q", False)(x)
-        k = dense(inner, "to_k", False)(context)
-        v = dense(inner, "to_v", False)(context)
+        to_q = dense(inner, "to_q", False)
+        to_k = dense(inner, "to_k", False)
+        to_v = dense(inner, "to_v", False)
+        to_out = dense(x.shape[-1], "to_out", True)
+        if context.shape[1] == 1:
+            # Single-key attention (the (B, 1, 768) CLIP context,
+            # morphable_diffusion.py:482): softmax over one logit is
+            # identically 1 for every query, so the attention output is
+            # to_v(context) broadcast over Lq — to_q, the attention core,
+            # and the per-position to_out all cancel exactly. This removes
+            # two (B, Lq, C) x (C, C) matmuls per transformer site; the
+            # general path reproduces it bit-for-bit with the context
+            # duplicated to two identical keys (tests/test_layers.py).
+            if self.is_initializing():
+                _ = to_q(x[:, :1])
+                _ = to_k(context)
+            out = to_out(to_v(context))  # (B, 1, C_x)
+            return jnp.broadcast_to(out, x.shape[:-1] + (out.shape[-1],))
+        q = to_q(x)
+        k = to_k(context)
+        v = to_v(context)
         out = attention(q, k, v, self.num_heads)
-        return dense(x.shape[-1], "to_out", True)(out)
+        return to_out(out)
 
 
 class GEGLUFeedForward(nn.Module):
