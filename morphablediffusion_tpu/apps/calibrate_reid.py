@@ -158,14 +158,33 @@ def main(argv=None):
         for s in names:
             for p in subjects[s]:
                 by_view[s].setdefault(p.parent.name, []).append(p)
+        # only subjects with at least one multi-image view can supply a
+        # same-identity pair; a subject sampled without one would crash on
+        # rng.integers(0)
+        multi = [s for s in names
+                 if any(len(ps) > 1 for ps in by_view[s].values())]
+        if not multi:
+            raise SystemExit(
+                "--pairing same_view needs a subject with >1 image in one "
+                "view directory (different expressions, same camera); none "
+                f"found under {flags.data_dir}")
         for _ in range(flags.pairs):
-            s = names[rng.integers(len(names))]
+            s = multi[rng.integers(len(multi))]
             views = [v for v, ps in by_view[s].items() if len(ps) > 1]
             v = views[rng.integers(len(views))]
             a, b = rng.choice(len(by_view[s][v]), size=2, replace=False)
             same_pairs.append((by_view[s][v][a], by_view[s][v][b]))
-            s1, s2 = rng.choice(len(names), size=2, replace=False)
-            shared = sorted(set(by_view[names[s1]]) & set(by_view[names[s2]]))
+            # different-identity pair at a shared camera: resample subject
+            # pairs until their view-id sets intersect
+            for _attempt in range(64):
+                s1, s2 = rng.choice(len(names), size=2, replace=False)
+                shared = sorted(set(by_view[names[s1]]) & set(by_view[names[s2]]))
+                if shared:
+                    break
+            else:
+                raise SystemExit(
+                    "--pairing same_view found no subject pair sharing a "
+                    f"view id under {flags.data_dir}")
             v = shared[rng.integers(len(shared))]
             diff_pairs.append((
                 by_view[names[s1]][v][rng.integers(len(by_view[names[s1]][v]))],

@@ -66,8 +66,13 @@ def init_params(model: FlameModel, image_size: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-def _stage_masks(params) -> Dict[str, Dict[str, float]]:
-    """Which entries train in each stage (1.0 = train)."""
+def _stage_masks(params, freeze_shape: bool = False) -> Dict[str, Dict[str, float]]:
+    """Which entries train in each stage (1.0 = train).
+
+    With ``freeze_shape`` the identity code never trains in ANY stage —
+    used by `fit_two_photos` so the expression fit cannot drift the shape
+    it was initialized with (the recombined mesh stays self-consistent).
+    """
     zeros = jax.tree.map(lambda x: jnp.zeros_like(x), params)
 
     def only(keys, extra=None):
@@ -84,6 +89,9 @@ def _stage_masks(params) -> Dict[str, Dict[str, float]]:
     rigid = only(["cam_r", "cam_t"], extra={"pose": global_rot})
     expr = only(["exp", "cam_t"], extra={"pose": jnp.ones_like(params["pose"])})
     full = jax.tree.map(lambda x: jnp.ones_like(x), params)
+    if freeze_shape:
+        full = dict(full)
+        full["shape"] = jnp.zeros_like(params["shape"])
     return {"rigid": rigid, "expression": expr, "full": full}
 
 
@@ -112,6 +120,7 @@ def fit_landmarks(
     cfg: Optional[FitConfig] = None,
     init: Optional[Dict[str, jnp.ndarray]] = None,
     image_size: int = 256,
+    freeze_shape: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
     """Fit FLAME parameters to one photo's 2D landmarks.
 
@@ -128,7 +137,7 @@ def fit_landmarks(
     weight = jnp.asarray(weight)
 
     params = init or init_params(model, image_size)
-    masks = _stage_masks(params)
+    masks = _stage_masks(params, freeze_shape=freeze_shape)
     tx = optax.adam(cfg.lr)
 
     @jax.jit
@@ -180,7 +189,9 @@ def fit_two_photos(
     p_in, info_in = fit_landmarks(model, lmk_input, K, cfg)
     init = init_params(model, 256)
     init["shape"] = jnp.asarray(p_in["shape"])
-    p_exp, info_exp = fit_landmarks(model, lmk_exp, K, cfg, init=init)
+    p_exp, info_exp = fit_landmarks(
+        model, lmk_exp, K, cfg, init=init, freeze_shape=True
+    )
     verts = flame_forward(
         model,
         jnp.asarray(p_in["shape"]),      # identity: input photo

@@ -137,9 +137,13 @@ def _dyn_contour_index(pose: jnp.ndarray) -> jnp.ndarray:
     published embedding tabulates them per integer yaw degree in
     [-39, 39]. Buckets 0..39 cover yaw 0..39 deg, buckets 40..78 cover
     -1..-39 deg (the table's layout).
+
+    Parity: metrical-tracker flame/lbs.py:58-122 — the head rotation is the
+    COMPOSED neck kinematic chain (global @ neck, not global alone), and the
+    bucketed angle is `-rot_mat_to_euler(R)` = atan2(+R[2,0], sy) in degrees.
     """
-    R = rodrigues(pose[:3])
-    yaw = jnp.degrees(jnp.arctan2(-R[2, 0], jnp.hypot(R[0, 0], R[1, 0])))
+    R = rodrigues(pose[:3]) @ rodrigues(pose[3:6])
+    yaw = jnp.degrees(jnp.arctan2(R[2, 0], jnp.hypot(R[0, 0], R[1, 0])))
     y = jnp.clip(jnp.round(yaw), -39, 39).astype(jnp.int32)
     return jnp.where(y >= 0, y, 39 - y)
 

@@ -45,10 +45,14 @@ def _box_blur(x: np.ndarray, r: int) -> np.ndarray:
         pad[axis] = (r, r)
         xp = np.pad(x, pad, mode="edge")
         c = np.cumsum(xp, axis=axis, dtype=np.float64)
+        # window sum for output i is sum(xp[i .. i+2r]) = c[i+2r] - c[i] + xp[i]
+        # with c the inclusive cumsum (the subtracted prefix removes xp[i]
+        # itself, so it must be added back PER-INDEX, not as the constant
+        # xp[0] — that bug biased every window toward the first padded row).
         lead = np.take(c, np.arange(2 * r, 2 * r + x.shape[axis]), axis=axis)
         lag = np.take(c, np.arange(x.shape[axis]), axis=axis)
-        first = np.take(xp, [0], axis=axis)
-        x = ((lead - lag + first) / (2 * r + 1)).astype(np.float32)
+        edge = np.take(xp, np.arange(x.shape[axis]), axis=axis)
+        x = ((lead - lag + edge) / (2 * r + 1)).astype(np.float32)
     return x
 
 

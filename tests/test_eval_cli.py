@@ -238,3 +238,78 @@ def test_calibrate_reid_same_view_pairing(tmp_path):
         assert np.isfinite(result[cls]["mean"])
     assert np.isfinite(result["eer_threshold"])
     assert 0.0 <= result["eer"] <= 0.5
+
+
+def test_calibrate_reid_same_view_skips_invalid_subjects(tmp_path):
+    """ADVICE r3: same_view pairing used to crash (rng.integers(0)) when it
+    sampled a subject with no multi-image view; now such subjects are skipped
+    for same-identity pairs, and a tree with NO valid subject exits cleanly."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from morphablediffusion_tpu.apps.calibrate_reid import main as cal_main
+    from morphablediffusion_tpu.eval.keypoint_net import (
+        LandmarkNet,
+        save_params,
+    )
+
+    rng = np.random.default_rng(1)
+
+    def write_subject(sub, exps, views):
+        base = rng.integers(40, 200, 3)
+        for exp in exps:
+            for v in views:
+                img = np.clip(
+                    base + rng.integers(-20, 20, (32, 32, 3)), 0, 255
+                ).astype(np.uint8)
+                rgba = np.concatenate(
+                    [img, np.full((32, 32, 1), 255, np.uint8)], -1
+                )
+                vd = tmp_path / "data" / sub / exp / f"view_{str(v).zfill(5)}"
+                vd.mkdir(parents=True)
+                Image.fromarray(rgba, "RGBA").save(vd / "rgba_colorcalib.png")
+
+    # subject 001: two expressions -> multi-image views (valid for "same")
+    # subject 002: ONE expression -> every view dir has a single image;
+    #   sampling it for a same-identity pair used to raise ValueError
+    write_subject("001", ["01", "02"], range(3))
+    write_subject("002", ["01"], range(3))
+
+    net = LandmarkNet()
+    params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    weights = tmp_path / "net.msgpack"
+    save_params(str(weights), params)
+
+    out = tmp_path / "cal.json"
+    cal_main([
+        "--data_dir", str(tmp_path / "data"),
+        "--embedder", "landmark",
+        "--weights", str(weights),
+        "--image_size", "32",
+        "--pairs", "8",
+        "--pairing", "same_view",
+        "--seed", "3",
+        "--out", str(out),
+    ])
+    assert json.loads(out.read_text())["n_pairs"] == 8
+
+    # no subject has a multi-image view -> clean SystemExit, not ValueError
+    only_single = tmp_path / "single"
+    for sub in ["001", "002"]:
+        for v in range(2):
+            vd = only_single / sub / "01" / f"view_{str(v).zfill(5)}"
+            vd.mkdir(parents=True)
+            Image.fromarray(
+                np.zeros((32, 32, 4), np.uint8), "RGBA"
+            ).save(vd / "rgba_colorcalib.png")
+    with pytest.raises(SystemExit, match="same_view"):
+        cal_main([
+            "--data_dir", str(only_single),
+            "--embedder", "landmark",
+            "--weights", str(weights),
+            "--image_size", "32",
+            "--pairs", "4",
+            "--pairing", "same_view",
+            "--out", str(tmp_path / "cal2.json"),
+        ])

@@ -164,3 +164,36 @@ def test_synthetic_flame_assets_roundtrip(tmp_path):
     lm = flame_landmarks(m, v, jnp.zeros(m.num_joints * 3))
     assert v.shape == (128, 3) and lm.shape == (68, 3)
     assert bool(jnp.isfinite(v).all()) and bool(jnp.isfinite(lm).all())
+
+
+def test_dyn_contour_bucket_matches_reference():
+    """_dyn_contour_index must reproduce the reference's yaw-bucket mapping
+    (metrical-tracker flame/lbs.py:58-122): R = global @ neck composed over
+    the neck kinematic chain, angle = atan2(+R[2,0], sy) in degrees, buckets
+    0..39 for yaw >= 0 and 39 - yaw for yaw < 0 (ADVICE r3: the sign was
+    flipped and the neck joint ignored)."""
+    from morphablediffusion_tpu.fitting.flame import _dyn_contour_index
+
+    def reference_bucket(global_aa, neck_aa):
+        from scipy.spatial.transform import Rotation
+
+        R = (Rotation.from_rotvec(global_aa).as_matrix()
+             @ Rotation.from_rotvec(neck_aa).as_matrix())
+        sy = np.hypot(R[0, 0], R[1, 0])
+        # reference: y = round(clamp(-rot_mat_to_euler(R) deg, max=39));
+        # y < -39 -> 78, -39 <= y < 0 -> 39 - y, else y
+        y = round(min(np.degrees(np.arctan2(R[2, 0], sy)), 39.0))
+        if y < -39:
+            return 78
+        return 39 - y if y < 0 else y
+
+    J = 5
+    for gdeg, ndeg in [(0, 0), (10, 0), (-10, 0), (25, 10), (-25, -10),
+                       (39, 5), (-50, 0), (0, -20), (17, -30)]:
+        g = np.array([0.0, np.radians(gdeg), 0.0], np.float32)
+        n = np.array([0.0, np.radians(ndeg), 0.0], np.float32)
+        pose = np.zeros(J * 3, np.float32)
+        pose[:3], pose[3:6] = g, n
+        got = int(_dyn_contour_index(jnp.asarray(pose)))
+        want = reference_bucket(g, n)
+        assert got == want, (gdeg, ndeg, got, want)

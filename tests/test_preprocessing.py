@@ -202,3 +202,20 @@ def test_matting_synthetic_composite(tmp_path):
     assert out.shape == (64, 64, 3)
     # background corners must be near white after compositing
     assert out[:4, :4].mean() > 0.8 and out[-4:, -4:].mean() > 0.8
+
+
+def test_box_blur_matches_naive():
+    """_box_blur must equal a naive edge-padded box filter (ADVICE r3: the
+    cumsum window used to add the constant first padded element instead of
+    the per-index one, biasing every guided-filter statistic)."""
+    from morphablediffusion_tpu.preprocessing.matting import _box_blur
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(13, 17)).astype(np.float32)
+    r = 3
+    xp = np.pad(x, ((r, r), (r, r)), mode="edge")
+    naive = np.zeros_like(x)
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            naive[i, j] = xp[i : i + 2 * r + 1, j : j + 2 * r + 1].mean()
+    np.testing.assert_allclose(_box_blur(x, r), naive, atol=1e-5)
