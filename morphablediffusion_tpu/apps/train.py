@@ -83,6 +83,12 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--finetune_from", type=str, default="",
                         help="torch .ckpt (SyncDreamer/SD) to import before training")
+    parser.add_argument("--vae_from", type=str, default="",
+                        help="pre-trained first-stage .msgpack from "
+                             "apps/train_vae.py, grafted into the (frozen) "
+                             "first_stage before training — the from-scratch "
+                             "recipe's substitute for the SD VAE the "
+                             "reference inherits")
     parser.add_argument("--max_steps", type=int, default=0, help="override config")
     parser.add_argument("--profile_steps", type=str, default="",
                         help="capture a jax.profiler trace, e.g. '10-15'")
@@ -143,6 +149,27 @@ def main(argv=None):
         print(f"resumed from step {int(state.step)}")
     else:
         state = trainer.init_state(first)
+        if flags.vae_from:
+            import jax.numpy as jnp
+            from flax.core import unfreeze
+
+            from morphablediffusion_tpu.apps.train_vae import load_vae
+
+            vae_params, meta = load_vae(flags.vae_from)
+            print(f"grafting first_stage from {flags.vae_from} ({meta})")
+            params = unfreeze(state.params)
+            like = params["params"]["first_stage"]
+            new = unfreeze(vae_params)["params"]
+            mismatch = jax.tree.map(
+                lambda a, b: a.shape != b.shape, like, new
+            )
+            assert not any(jax.tree.leaves(mismatch)), (
+                "VAE arch mismatch: config vae_ch/vae_ch_mult/"
+                "vae_num_res_blocks must match the train_vae run")
+            params["params"]["first_stage"] = jax.tree.map(
+                lambda a, b: jnp.asarray(b, a.dtype), like, new
+            )
+            state = state.replace(params=trainer.cast_frozen(params))
         if flags.finetune_from:
             from morphablediffusion_tpu.utils.torch_import import (
                 import_torch_checkpoint,

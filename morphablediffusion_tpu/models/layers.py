@@ -47,6 +47,12 @@ class GroupNorm(nn.Module):
         )
 
         C = x.shape[-1]
+        if C % self.num_groups != 0:
+            # fail loudly: the segment-matrix formulation would silently
+            # produce NaN stats for C < num_groups (e.g. a too-narrow VAE)
+            raise ValueError(
+                f"GroupNorm: channels {C} not divisible by "
+                f"num_groups {self.num_groups}")
         gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         if shift is not None:

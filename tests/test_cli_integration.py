@@ -223,10 +223,22 @@ def test_train_cli(tmp_path):
         "  shuffled_expression: false",
     ))
 
+    # pre-train a tiny first stage on the same images and graft it in:
+    # the from-scratch recipe's stage-2 path (train.py --vae_from)
+    vae_out = tmp_path / "vae.msgpack"
+    r = _run(["morphablediffusion_tpu.apps.train_vae",
+              "--data_dir", str(root), "--out", str(vae_out),
+              "--image_size", "64", "--ch", "32", "--ch_mult", "1,1,1,1",
+              "--num_res_blocks", "1", "--steps", "4", "--batch_size", "2",
+              "--log_every", "2", "--save_every", "4", "--num_workers", "1"])
+    assert "folded" in r.stdout and vae_out.is_file()
+
     run_dir = tmp_path / "runs"
     # 2-device mesh: the data axis must divide the batch of 2
     r = _run(["morphablediffusion_tpu.apps.train", "-b", str(cfg),
-              "-l", str(run_dir), "-n", "smoke", "--max_steps", "1"],
+              "-l", str(run_dir), "-n", "smoke", "--max_steps", "1",
+              "--vae_from", str(vae_out)],
              devices=2)
+    assert "grafting first_stage" in r.stdout
     assert "training done" in r.stdout
     assert (run_dir / "smoke" / "ckpt").is_dir()
