@@ -182,7 +182,14 @@ def main(argv=None):
     parser.add_argument("--reid_weights", type=str, default="",
                         help="IR-SE50 ArcFace weights (model_ir_se50.pth) "
                              "for the Re-ID rate")
-    parser.add_argument("--reid_threshold", type=float, default=0.6)
+    parser.add_argument("--reid_threshold", type=float, default=None,
+                        help="Re-ID accept distance. REQUIRED with "
+                             "--reid_weights: the reference's 0.6 is dlib's "
+                             "calibrated threshold (eval_2d_facescape.py:"
+                             "97-108) and is known-wrong for IR-SE50's "
+                             "distance scale — run apps/calibrate_reid.py "
+                             "on a multi-view tree with the same weights "
+                             "and pass its EER threshold")
     parser.add_argument("--lpips_vgg", type=str, default="",
                         help="torchvision vgg16 weights "
                              "(vgg16-397923af.pth) for native LPIPS")
@@ -214,6 +221,16 @@ def main(argv=None):
 
     reid_fn = None
     if flags.reid_weights:
+        if flags.reid_threshold is None:
+            raise SystemExit(
+                "--reid_weights needs an explicit --reid_threshold: the "
+                "dlib default (0.6) does not transfer to IR-SE50's distance "
+                "scale, so a silently-computed rate would be wrong. "
+                "Calibrate one with\n"
+                "  python -m morphablediffusion_tpu.apps.calibrate_reid "
+                f"--data_dir <multi-view tree> --reid_weights "
+                f"{flags.reid_weights} --pairing same_view --out cal.json\n"
+                "and pass its printed EER threshold here.")
         import jax
         import jax.numpy as jnp
         import torch

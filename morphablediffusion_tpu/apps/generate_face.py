@@ -177,6 +177,10 @@ def main(argv=None):
                              "visible TPU chips (multi-chip inference)")
     parser.add_argument("--f32_params", action="store_true",
                         help="keep fp32 weights (default: bf16 serving cast)")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="serve the UNet's internal convs in W8A8 int8 "
+                             "(~2x MXU conv throughput; ops/int8.py). Same "
+                             "checkpoints — quantization happens in-graph")
     parser.add_argument("--matting", type=str, default="auto",
                         choices=["auto", "native", "none"],
                         help="background removal for non-alpha inputs: "
@@ -197,6 +201,8 @@ def main(argv=None):
     exp_name = Path(flags.exp_img).stem if flags.exp_img else "mesh"
 
     cfg = load_config(flags.cfg)
+    if flags.w8a8:
+        cfg.model.unet.w8a8 = True
 
     input_img = load_input_image(flags.input_img, cfg.model.image_size,
                                  matting=flags.matting)

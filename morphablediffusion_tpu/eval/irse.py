@@ -14,10 +14,11 @@ dropout is identity, matching `Backbone.eval()` in the reference's IDFeatures
 wrapper (ldm/thirdp/psp/id_loss.py:11-14).
 
 Distances are Euclidean between l2-normalized descriptors, like dlib's; the
-0.6 threshold was calibrated for dlib's ResNet, so `--reid_threshold` is a
-flag — 0.6 stays the default for printout parity, but IR-SE50 distances on
-same/different identities should be re-calibrated by the user if absolute
-Re-ID rates are compared across backends.
+0.6 threshold was calibrated for dlib's ResNet and does NOT transfer to
+IR-SE50's distance scale, so eval_2d REQUIRES an explicit --reid_threshold
+when this backend is used — calibrate one with apps/calibrate_reid.py
+(EER-threshold protocol; --pairing same_view matches the deployed metric's
+geometry).
 """
 
 from __future__ import annotations

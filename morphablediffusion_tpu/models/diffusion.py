@@ -88,6 +88,7 @@ class MorphableDiffusion(nn.Module):
             transformer_depth=u.transformer_depth,
             volume_dims=u.volume_dims,
             dtype=dtype,
+            w8a8=u.w8a8,
         )
 
     def init_fn(self, batch):

@@ -65,11 +65,53 @@ class GroupNorm(nn.Module):
                           self.act)
 
 
+class Conv8(nn.Module):
+    """W8A8 int8 serving conv, param-tree-compatible with `nn.Conv`.
+
+    Same "kernel"/"bias" parameters (fp32, identical shapes/inits), so any
+    checkpoint trained or imported for the bf16 path loads unchanged; the
+    quantization (ops/int8.py) happens in-graph from the fp32 weights and is
+    hoisted out of the sampler's scan by XLA as loop-invariant.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        from morphablediffusion_tpu.ops.int8 import conv2d_w8a8
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", zeros_init, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return conv2d_w8a8(x, kernel, bias, stride=self.stride,
+                           padding=self.pad, out_dtype=self.dtype)
+
+
 def conv(features, kernel=3, stride=1, padding=None, use_bias=True, name=None,
-         dtype=jnp.float32, kernel_init=None):
-    """NHWC/NDHWC conv; padding defaults to torch-style (k-1)//2 on each side."""
+         dtype=jnp.float32, kernel_init=None, int8=False):
+    """NHWC/NDHWC conv; padding defaults to torch-style (k-1)//2 on each side.
+
+    int8=True returns the param-compatible W8A8 serving conv (Conv8)."""
     if padding is None:
         padding = (kernel - 1) // 2
+    if int8:
+        return Conv8(
+            features, kernel_size=kernel, stride=stride, pad=padding,
+            use_bias=use_bias, dtype=dtype, name=name,
+            **({"kernel_init": kernel_init} if kernel_init is not None else {}),
+        )
     kwargs = {}
     if kernel_init is not None:
         kwargs["kernel_init"] = kernel_init
@@ -151,11 +193,13 @@ class Upsample(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nearest_upsample_2d(x)
-        return conv(self.features, 3, dtype=self.dtype, name="conv")(x)
+        return conv(self.features, 3, dtype=self.dtype, name="conv",
+                    int8=self.int8)(x)
 
 
 class Downsample(nn.Module):
@@ -163,10 +207,12 @@ class Downsample(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return conv(self.features, 3, stride=2, dtype=self.dtype, name="op")(x)
+        return conv(self.features, 3, stride=2, dtype=self.dtype, name="op",
+                    int8=self.int8)(x)
 
 
 class ResBlock(nn.Module):
@@ -174,16 +220,19 @@ class ResBlock(nn.Module):
 
     GN(32) -> SiLU -> conv3x3 -> +time_mlp(emb) -> GN -> SiLU -> zero conv3x3,
     with 1x1 (or identity) skip. use_scale_shift_norm=False path only (the
-    shipped configs never enable it).
+    shipped configs never enable it). int8=True runs the convs W8A8
+    (serving; see ops/int8.py).
     """
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, emb):
         h = GroupNorm(32, name="norm_in", act="silu")(x)
-        h = conv(self.out_channels, 3, dtype=self.dtype, name="conv_in")(h)
+        h = conv(self.out_channels, 3, dtype=self.dtype, name="conv_in",
+                 int8=self.int8)(h)
         emb_out = nn.Dense(
             self.out_channels, dtype=self.dtype, param_dtype=jnp.float32,
             name="emb_proj",
@@ -191,11 +240,11 @@ class ResBlock(nn.Module):
         h = GroupNorm(32, name="norm_out", act="silu")(h, shift=emb_out)
         h = conv(
             self.out_channels, 3, dtype=self.dtype, name="conv_out",
-            kernel_init=zeros_init,
+            kernel_init=zeros_init, int8=self.int8,
         )(h)
         if x.shape[-1] != self.out_channels:
             x = conv(self.out_channels, 1, padding=0, dtype=self.dtype,
-                     name="skip")(x)
+                     name="skip", int8=self.int8)(x)
         return x + h
 
 
@@ -336,13 +385,15 @@ class SpatialTransformer(nn.Module):
     head_dim: int
     depth: int = 1
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         B, H, W, C = x.shape
         inner = self.num_heads * self.head_dim
         h = GroupNorm(32, epsilon=1e-6, name="norm")(x)
-        h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in")(h)
+        h = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in",
+                 int8=self.int8)(h)
         h = h.reshape(B, H * W, inner)
         for i in range(self.depth):
             h = BasicTransformerBlock(
@@ -351,7 +402,7 @@ class SpatialTransformer(nn.Module):
             )(h, context)
         h = h.reshape(B, H, W, inner)
         h = conv(C, 1, padding=0, dtype=self.dtype, name="proj_out",
-                 kernel_init=zeros_init)(h)
+                 kernel_init=zeros_init, int8=self.int8)(h)
         return h + x
 
 

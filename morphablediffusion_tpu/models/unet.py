@@ -104,10 +104,12 @@ class DepthTransformer(nn.Module):
     out_channels: int
     ctx_dim: int
     dtype: Dtype = jnp.float32
+    int8: bool = False
 
     def setup(self):
         inner = self.num_heads * self.head_dim
-        self.proj_in_conv = conv(inner, 1, padding=0, dtype=self.dtype)
+        self.proj_in_conv = conv(inner, 1, padding=0, dtype=self.dtype,
+                                 int8=self.int8)
         self.proj_in_norm = GroupNorm(8, act="silu")
         self.proj_context_conv = nn.Dense(
             self.ctx_dim, use_bias=False, dtype=self.dtype,
@@ -117,10 +119,12 @@ class DepthTransformer(nn.Module):
         self.depth_attn = DepthAttention(self.num_heads, self.head_dim,
                                          self.dtype)
         self.proj_out_norm0 = GroupNorm(8, act="relu")
-        self.proj_out_conv0 = conv(inner, 3, use_bias=False, dtype=self.dtype)
+        self.proj_out_conv0 = conv(inner, 3, use_bias=False, dtype=self.dtype,
+                                   int8=self.int8)
         self.proj_out_norm1 = GroupNorm(8, act="relu")
         self.proj_out_conv1 = conv(self.out_channels, 3, use_bias=False,
-                                   dtype=self.dtype, kernel_init=zeros_init)
+                                   dtype=self.dtype, kernel_init=zeros_init,
+                                   int8=self.int8)
 
     def _fused_ok(self, context) -> bool:
         """Fully-fused context path: proj+GN stats folded to an affine, one
@@ -227,6 +231,11 @@ class DepthWiseUNet(nn.Module):
     transformer_depth: int = 1
     volume_dims: Sequence[int] = (64, 128, 256, 512)
     dtype: Dtype = jnp.float32
+    # W8A8 int8 serving of the internal convs (ops/int8.py): ResBlocks,
+    # Up/Downsample, SpatialTransformer 1x1s, DepthTransformer projections.
+    # The first (input_conv) and last (out_conv) layers stay bf16 — standard
+    # PTQ practice, and out_conv writes eps directly. Param tree unchanged.
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, x, timesteps, context, source_dict: Dict[int, jnp.ndarray],
@@ -263,19 +272,19 @@ class DepthWiseUNet(nn.Module):
         )
 
         def res(ch, name):
-            return res_cls(ch, self.dtype, name=name)
+            return res_cls(ch, self.dtype, self.w8a8, name=name)
 
         def st(ch, name):
             return st_cls(
                 self.num_heads, ch // self.num_heads,
-                self.transformer_depth, self.dtype, name=name,
+                self.transformer_depth, self.dtype, self.w8a8, name=name,
             )
 
         def depth_tf(ctx_dim, out_ch, name):
             # heads=4, dim_head=ctx//2 (attention.py:97-115)
             return dt_cls(
                 num_heads=4, head_dim=ctx_dim // 2, out_channels=out_ch,
-                ctx_dim=ctx_dim, dtype=self.dtype, name=name,
+                ctx_dim=ctx_dim, dtype=self.dtype, int8=self.w8a8, name=name,
             )
 
         hs = []
@@ -294,7 +303,8 @@ class DepthWiseUNet(nn.Module):
                 hs.append(h)
                 block += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, self.dtype, name=f"in_{block}_down")(h)
+                h = Downsample(ch, self.dtype, self.w8a8,
+                               name=f"in_{block}_down")(h)
                 hs.append(h)
                 block += 1
                 ds *= 2
@@ -323,7 +333,8 @@ class DepthWiseUNet(nn.Module):
                 if ds in self.attention_ds:
                     h = st(ch, f"out_{block}_attn")(h, context)
                 if level and i == self.num_res_blocks:
-                    h = Upsample(ch, self.dtype, name=f"out_{block}_up")(h)
+                    h = Upsample(ch, self.dtype, self.w8a8,
+                                 name=f"out_{block}_up")(h)
                     ds //= 2
                 if block in out_cond_ctx:
                     cd = self.volume_dims[out_cond_ctx[block]]

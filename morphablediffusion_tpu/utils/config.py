@@ -37,6 +37,11 @@ class UNetConfig:
     # use_checkpoint, configs/facescape.yaml unet_config); inference never
     # rematerializes regardless.
     use_checkpoint: bool = True
+    # W8A8 int8 serving of the UNet's internal convs (ops/int8.py) — ~2x MXU
+    # throughput on the conv-dominated denoise step. Serving-only: train bf16,
+    # then flip this (or pass --w8a8 to the CLIs); the param tree and
+    # checkpoints are unchanged.
+    w8a8: bool = False
 
 
 @dataclasses.dataclass

@@ -147,6 +147,18 @@ def test_eval_2d_all_five_metrics(eval_fixture, tmp_path):
     reid_w = tmp_path / "ir_se50.pth"
     torch.save(Backbone(112, 50, "ir_se").eval().state_dict(), reid_w)
 
+    # VERDICT r3 item 10: IR-SE50 weights WITHOUT an explicit calibrated
+    # threshold must refuse (the dlib 0.6 default is known-wrong for
+    # IR-SE50's distance scale) and point at calibrate_reid
+    with pytest.raises(SystemExit, match="calibrate_reid"):
+        eval_2d_main([
+            "--data_dir", str(root / "data"),
+            "--generated_dir", str(gen_dir),
+            "--views_json", str(views_json),
+            "--image_size", "32",
+            "--reid_weights", str(reid_w),
+        ])
+
     result = eval_2d_main([
         "--data_dir", str(root / "data"),
         "--generated_dir", str(gen_dir),
@@ -157,6 +169,7 @@ def test_eval_2d_all_five_metrics(eval_fixture, tmp_path):
         "--ckpt", str(ckpt),
         "--cfg", str(cfg_path),
         "--reid_weights", str(reid_w),
+        "--reid_threshold", "0.6",
     ])
     # generated == GT: FID ~ 0, every view re-identified, PCK perfect
     assert result["fid"] is not None and result["fid"] < 1e-3
