@@ -101,7 +101,8 @@ def main(argv=None):
     parser.add_argument("--input_landmarks", type=str, default="",
                         help="precomputed (68,2) .npy/.json for input_img")
     parser.add_argument("--exp_landmarks", type=str, default="")
-    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--steps", type=int, default=40,
+                        help="Levenberg-Marquardt iterations per stage")
     parser.add_argument("--n_shape", type=int, default=100)
     parser.add_argument("--n_exp", type=int, default=50)
     parser.add_argument("--focal", type=float, default=0.0,

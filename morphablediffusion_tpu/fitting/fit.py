@@ -7,29 +7,35 @@ torch Adam photometric+landmark fit with a pytorch3d rasterizer) with a
 landmark-only fit that needs nothing outside this repo: detected 2D
 landmarks in, FLAME parameters + mesh out.
 
-Design: parameters live in one flat pytree; each stage is an
-`optax.adam` loop inside `lax.fori_loop` inside ONE `jax.jit`, with
-per-stage trainable masks applied to the gradients (the reference freezes
-groups by rebuilding torch optimizers; here a mask multiply keeps a single
-compiled graph per stage). Stages follow the tracker's curriculum: rigid
-camera alignment first, then expression+jaw, then everything.
+Design: parameters live in one flat vector; each stage is a
+Levenberg-Marquardt loop (full Jacobian + damped normal-equations solve —
+the problem is ~300 residuals x ~170 parameters, so one tiny (P, P) solve
+per iteration beats hundreds of first-order steps; round 3's Adam loop
+plateaued ~8 px on known-parameter ground truth) inside ONE jitted
+`lax.scan` with branchless lambda accept/reject. Per-stage trainable masks
+zero Jacobian columns (the reference freezes groups by rebuilding torch
+optimizers; a mask keeps a single compiled graph per stage). Stages follow
+the tracker's curriculum: rigid camera alignment first, then
+expression+jaw, then everything.
 
 Identity retargeting (the reference patches the tracker to inject MICA's
 identity codes; third_party/retarget_identity.py does it for the external
-path): `fit_two_photos` fits the input photo for identity and the
-expression photo for expression/pose, then recombines — same contract,
-zero external code.
+path): `fit_two_photos` solves ONE joint bundle fit over both photos with a
+shared identity code — same contract, zero external code, and the shared
+shape resolves the single-photo shape/exp ambiguity that MICA's learned
+prior exists to break.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from morphablediffusion_tpu.fitting.flame import (
     FlameModel,
@@ -41,12 +47,17 @@ from morphablediffusion_tpu.fitting.flame import (
 
 @dataclasses.dataclass
 class FitConfig:
-    steps_per_stage: int = 300
-    lr: float = 1e-2
-    # regularizer weights (squared-L2 on the codes, like the tracker's priors)
-    w_shape: float = 1e-4
-    w_exp: float = 1e-4
-    w_pose: float = 1e-2   # non-global joints (neck/jaw/eyes) stay small
+    steps_per_stage: int = 40  # LM iterations per stage (each = one solve)
+    # regularizer weights (squared-L2 on the codes, like the tracker's
+    # priors). The data residuals are in REFERENCE PIXELS (see _residuals),
+    # so with codes ~ N(0, 1) these defaults bias the fit by well under a
+    # pixel for well-constrained directions while damping the noise
+    # amplification of low-variance tail components (w = sigma_noise^2 /
+    # sigma_prior^2 is the MAP weighting; 0.3 assumes ~0.5 px detector
+    # noise on unit-variance codes — measured sweep in docs/FITTING.md).
+    w_shape: float = 0.3
+    w_exp: float = 0.3
+    w_pose: float = 1e-3   # non-global joints (neck/jaw/eyes) stay small
     # landmark weighting: the 17 jaw-contour points slide on the mesh, so
     # they get a lower weight than the 51 inner points (only applied to
     # 68-point sets)
@@ -95,22 +106,95 @@ def _stage_masks(params, freeze_shape: bool = False) -> Dict[str, Dict[str, floa
     return {"rigid": rigid, "expression": expr, "full": full}
 
 
-def _loss_fn(
+def _residuals(
     params, model: FlameModel, lmk2d: jnp.ndarray, K: jnp.ndarray,
     cfg: FitConfig, lmk_weight: jnp.ndarray,
 ):
+    """Weighted least-squares residual vector: landmark reprojection in
+    REFERENCE PIXELS (error scaled to a 300 px-focal camera, so regularizer
+    weights act at sub-pixel scale regardless of image size) followed by the
+    code priors. cost = 0.5 * sum(residuals**2)."""
     verts = flame_forward(model, params["shape"], params["exp"], params["pose"])
     l3d = flame_landmarks(model, verts, params["pose"])
     uv = project_points(l3d, params["cam_r"], params["cam_t"], K)
-    # normalize pixel error by focal length so lr is image-size independent
-    err = jnp.sum((uv - lmk2d) ** 2, axis=-1) / (K[0, 0] ** 2)
-    data = jnp.sum(lmk_weight * err) / jnp.sum(lmk_weight)
-    reg = (
-        cfg.w_shape * jnp.sum(params["shape"] ** 2)
-        + cfg.w_exp * jnp.sum(params["exp"] ** 2)
-        + cfg.w_pose * jnp.sum(params["pose"][3:] ** 2)
-    )
-    return data + reg
+    r_data = (uv - lmk2d) * (300.0 / K[0, 0]) * jnp.sqrt(lmk_weight)[:, None]
+    return jnp.concatenate([
+        r_data.reshape(-1),
+        jnp.sqrt(cfg.w_shape) * params["shape"],
+        jnp.sqrt(cfg.w_exp) * params["exp"],
+        jnp.sqrt(cfg.w_pose) * params["pose"][3:],
+    ])
+
+
+def _loss_fn(params, model, lmk2d, K, cfg, lmk_weight):
+    r = _residuals(params, model, lmk2d, K, cfg, lmk_weight)
+    return 0.5 * jnp.sum(r * r)
+
+
+def _lm_stage_runner(res_fn, P: int):
+    """One Levenberg-Marquardt stage as a jitted `lax.scan`.
+
+    res_fn: flat (P,) params -> (R,) residual vector. Each iteration forms
+    the full Jacobian (jacfwd — R and P are both tiny), solves the damped
+    normal equations, and accepts/rejects branchlessly; `mask_flat` zeroes
+    the Jacobian columns (and updates) of frozen parameters. Returns
+    (flat_params, final_cost).
+    """
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(flat, mask_flat, steps: int):
+        def body(carry, _):
+            p, lam, cost = carry
+            r = res_fn(p)
+            J = jax.jacfwd(res_fn)(p) * mask_flat[None, :]
+            A = J.T @ J + lam * jnp.eye(P, dtype=p.dtype)
+            delta = -jnp.linalg.solve(A, J.T @ r) * mask_flat
+            p_new = p + delta
+            r_new = res_fn(p_new)
+            c_new = 0.5 * jnp.sum(r_new * r_new)
+            ok = c_new < cost
+            p = jnp.where(ok, p_new, p)
+            lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-8, 1e8)
+            cost = jnp.where(ok, c_new, cost)
+            return (p, lam, cost), None
+
+        r0 = res_fn(flat)
+        c0 = 0.5 * jnp.sum(r0 * r0)
+        (flat, _, cost), _ = jax.lax.scan(
+            body, (flat, jnp.float32(1e-2), c0), None, length=steps
+        )
+        return flat, cost
+
+    return run
+
+
+def canonicalize_global(model: FlameModel, params: Dict[str, np.ndarray]):
+    """Fold the fitted global rotation into the camera (gauge fix).
+
+    Landmarks only observe cam_R @ R_global, so the optimizer splits the
+    head rotation arbitrarily between pose[:3] and cam_r — but the pipeline
+    contract (apps/generate_face.py consumes MICA/tracker-style meshes) is a
+    CANONICAL mesh with the rigid transform in the camera. The fold is
+    exact: with G the global rotation about the root joint j0,
+    v(G) = G (v(I) - j0) + j0, hence
+      cam_R' = cam_R @ G,  cam_t' = cam_t + cam_R @ (I - G) @ j0,
+    and pose[:3] = 0 reproduces identical projections.
+    """
+    from scipy.spatial.transform import Rotation
+
+    p = {k: np.asarray(v).copy() for k, v in params.items()}
+    g = p["pose"][:3]
+    if float(np.abs(g).max()) == 0.0:
+        return p
+    G = Rotation.from_rotvec(g).as_matrix()
+    betas = jnp.concatenate([jnp.asarray(p["shape"]), jnp.asarray(p["exp"])])
+    v_shaped = model.v_template + jnp.einsum("vks,s->vk", model.shapedirs, betas)
+    j0 = np.asarray(model.j_regressor @ v_shaped)[0]
+    Rc = Rotation.from_rotvec(np.asarray(p["cam_r"])).as_matrix()
+    p["cam_r"] = Rotation.from_matrix(Rc @ G).as_rotvec().astype(np.float32)
+    p["cam_t"] = (np.asarray(p["cam_t"]) + Rc @ (j0 - G @ j0)).astype(np.float32)
+    p["pose"][:3] = 0.0
+    return p
 
 
 def fit_landmarks(
@@ -124,8 +208,17 @@ def fit_landmarks(
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
     """Fit FLAME parameters to one photo's 2D landmarks.
 
-    Returns (params, info) with info carrying the per-stage final losses and
-    the mean reprojection error in pixels.
+    Solver: staged Levenberg-Marquardt, each stage ONE jitted `lax.scan`.
+    The problem is a tiny nonlinear least squares (~300 residuals, ~170
+    parameters): the full Jacobian fits trivially on chip, one (P, P) solve
+    per iteration beats hundreds of first-order steps (the round-3 Adam loop
+    plateaued ~8 px on known-parameter ground truth; LM reaches the noise
+    floor in ~40 iterations — tools/eval_flame_fit.py). Lambda adapts by
+    branchless accept/reject so the scan body is compilable. Stage masks
+    zero the Jacobian columns of frozen parameters (the reference rebuilds
+    torch optimizers per stage, tracker.py:117-144).
+
+    Returns (params, info): per-stage final costs + mean px reprojection err.
     """
     cfg = cfg or FitConfig()
     K = jnp.asarray(np.asarray(K, np.float32)[:3, :3])
@@ -138,26 +231,23 @@ def fit_landmarks(
 
     params = init or init_params(model, image_size)
     masks = _stage_masks(params, freeze_shape=freeze_shape)
-    tx = optax.adam(cfg.lr)
+    flat0, unravel = jax.flatten_util.ravel_pytree(
+        {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    )
+    P = flat0.shape[0]
 
-    @jax.jit
-    def run_stage(params, mask):
-        opt = tx.init(params)
-
-        def body(_, carry):
-            p, opt = carry
-            grads = jax.grad(_loss_fn)(p, model, lmk2d, K, cfg, weight)
-            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
-            updates, opt = tx.update(grads, opt, p)
-            return optax.apply_updates(p, updates), opt
-
-        params, _ = jax.lax.fori_loop(0, cfg.steps_per_stage, body, (params, opt))
-        return params, _loss_fn(params, model, lmk2d, K, cfg, weight)
-
+    run = _lm_stage_runner(
+        lambda f: _residuals(unravel(f), model, lmk2d, K, cfg, weight), P
+    )
     info = {}
+    flat = flat0
     for name in ("rigid", "expression", "full"):
-        params, loss = run_stage(params, masks[name])
-        info[f"loss_{name}"] = float(loss)
+        mask_flat, _ = jax.flatten_util.ravel_pytree(
+            {k: jnp.asarray(masks[name][k], jnp.float32) for k in params}
+        )
+        flat, cost = run(flat, mask_flat, cfg.steps_per_stage)
+        info[f"loss_{name}"] = float(cost)
+    params = unravel(flat)
 
     verts = flame_forward(model, params["shape"], params["exp"], params["pose"])
     uv = project_points(
@@ -167,7 +257,9 @@ def fit_landmarks(
     info["mean_px_err"] = float(
         jnp.mean(jnp.linalg.norm(uv - lmk2d, axis=-1))
     )
-    return {k: np.asarray(v) for k, v in params.items()}, info
+    return canonicalize_global(
+        model, {k: np.asarray(v) for k, v in params.items()}
+    ), info
 
 
 def fit_two_photos(
@@ -181,9 +273,13 @@ def fit_two_photos(
     photo -> retargeted vertices (the generate_face.sh stage-1/2 contract:
     reference MICA demo.py identity codes injected into the tracker's fit).
 
-    The expression fit reuses the input fit's shape as its initialization
-    and keeps it frozen during the expression stage, so the recombined mesh
-    is self-consistent.
+    Sequential, because the expression photo may show a DIFFERENT person
+    (the reference retargets a stranger's expression onto the input
+    identity, third_party/retarget_identity.py): first fit the input photo
+    for identity, then fit the expression photo with that shape FROZEN so
+    its exp/pose absorb everything else — exactly the tracker-with-injected-
+    MICA-codes behavior. The returned mesh is canonical (global-rotation
+    gauge folded into the discarded camera, `canonicalize_global`).
     """
     cfg = cfg or FitConfig()
     p_in, info_in = fit_landmarks(model, lmk_input, K, cfg)
@@ -196,7 +292,7 @@ def fit_two_photos(
         model,
         jnp.asarray(p_in["shape"]),      # identity: input photo
         jnp.asarray(p_exp["exp"]),       # expression/pose: expression photo
-        jnp.asarray(p_exp["pose"]),
+        jnp.asarray(p_exp["pose"]),      # canonical (global folded out)
     )
     info = {f"input_{k}": v for k, v in info_in.items()}
     info.update({f"exp_{k}": v for k, v in info_exp.items()})

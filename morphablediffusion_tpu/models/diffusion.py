@@ -324,13 +324,19 @@ class MorphableDiffusion(nn.Module):
         x_concat = x_input
 
         if cfg.drop_conditions:
+            # masks multiply in each tensor's OWN dtype: an fp32 mask would
+            # silently promote every (B, D, w, w, C) frustum volume (and the
+            # latents) to fp32 — 2x the HBM traffic of the whole UNet
+            # conditioning path during training
             keep_clip, keep_vol, keep_cat = self._drop_masks(B)
-            clip_embed = clip_embed * keep_clip[:, None, None]
+            clip_embed = clip_embed * keep_clip[:, None, None].astype(
+                clip_embed.dtype)
             volume_feats = {
-                k: v * keep_vol[:, None, None, None, None]
+                k: v * keep_vol[:, None, None, None, None].astype(v.dtype)
                 for k, v in volume_feats.items()
             }
-            x_concat = x_concat * keep_cat[:, None, None, None]
+            x_concat = x_concat * keep_cat[:, None, None, None].astype(
+                x_concat.dtype)
 
         eps = self.apply_unet(
             x_noisy_sel, t, clip_embed, volume_feats, x_concat,

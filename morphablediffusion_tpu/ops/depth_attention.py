@@ -129,8 +129,11 @@ def _fwd(q, k, v, num_heads):
 
 def _bwd(num_heads, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, num_heads), q, k, v)
-    return vjp(g)
+    out, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, num_heads), q, k, v)
+    # the primal may have run the Pallas kernel, whose output dtype (q.dtype)
+    # can differ from the reference path's promoted dtype — align the
+    # cotangent to what THIS vjp expects
+    return vjp(g.astype(out.dtype))
 
 
 depth_attention.defvjp(_fwd, _bwd)
@@ -324,11 +327,16 @@ def _ctx_fwd(q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv, num_heads,
 
 def _ctx_bwd(num_heads, num_groups, eps, res, g):
     q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv = res
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda *a: _ctx_full(*a, num_heads, num_groups, eps, False),
         q, ctx, mean_x, m2, Wp, gn_scale, gn_bias, Wk, Wv,
     )
-    return vjp(g)
+    # the primal may have run the Pallas kernel (output dtype q.dtype); the
+    # reference chain promotes through the inputs (e.g. a fp32 ctx after the
+    # training-time condition-drop mask) — align the cotangent to THIS vjp's
+    # expected output dtype. Hit in practice by drop_conditions training on
+    # device (fp32 keep-mask multiply upcasting the frustum volumes).
+    return vjp(g.astype(out.dtype))
 
 
 depth_attention_ctx.defvjp(_ctx_fwd, _ctx_bwd)

@@ -39,8 +39,17 @@ def main(argv=None):
     v_template = (u / np.linalg.norm(u, axis=1, keepdims=True)) * 0.1
 
     # FLAME packs 300 shape + 100 expression columns into one (V, 3, 400)
-    # tensor; smooth small bases keep the fitted meshes non-degenerate
+    # tensor; smooth small bases keep the fitted meshes non-degenerate.
+    # Each block gets a PCA-like DECAYING spectrum (the real model's
+    # components are variance-ranked): with a flat spectrum, codes beyond
+    # the ~136 landmark constraints are unidentifiable yet carry as much
+    # geometry as the leading ones, making single-photo vertex recovery
+    # impossible by construction — a property no real morphable model has.
     shapedirs = rng.normal(size=(V, 3, 400)).astype(np.float64) * 0.002
+    decay = np.concatenate([
+        (1.0 + np.arange(300)) ** -0.85, (1.0 + np.arange(100)) ** -0.85,
+    ])
+    shapedirs *= decay[None, None, :]
     posedirs = rng.normal(size=(V, 3, (J - 1) * 9)).astype(np.float64) * 5e-4
 
     jr = np.abs(rng.normal(size=(J, V)))
@@ -71,12 +80,25 @@ def main(argv=None):
         )
 
     # the real embedding: 51 static (ibug 18-68) + 79 yaw-bucketed rows of
-    # the 17 jaw-contour points -> flame_landmarks yields contour-first 68
+    # the 17 jaw-contour points -> flame_landmarks yields contour-first 68.
+    # The dynamic rows must vary SMOOTHLY with the yaw bucket like the
+    # published table (the contour slides along the jaw): per-bucket random
+    # rows make the fitting cost violently discontinuous in yaw — an
+    # artifact no real asset has, and one that traps any local optimizer
+    # (tools/eval_flame_fit.py converges exactly without it).
     lmk_faces = rng.integers(0, F, size=51).astype(np.int64)
     bary = rng.uniform(0.1, 1.0, size=(51, 3))
     bary /= bary.sum(axis=1, keepdims=True)
-    dyn_faces = rng.integers(0, F, size=(79, 17)).astype(np.int64)
-    dyn_bary = rng.uniform(0.1, 1.0, size=(79, 17, 3))
+    dyn_faces = np.broadcast_to(
+        rng.integers(0, F, size=17).astype(np.int64), (79, 17)
+    ).copy()
+    # barycentric coords glide between two random simplex points across the
+    # yaw range (buckets 0..39 = 0..39 deg, 40..78 = -1..-39 deg)
+    b0 = rng.uniform(0.1, 1.0, size=(17, 3))
+    b1 = rng.uniform(0.1, 1.0, size=(17, 3))
+    yaw_deg = np.concatenate([np.arange(0, 40), -np.arange(1, 40)])
+    t = ((yaw_deg + 39) / 78.0)[:, None, None]
+    dyn_bary = b0[None] * (1 - t) + b1[None] * t
     dyn_bary /= dyn_bary.sum(axis=2, keepdims=True)
     np.save(
         out / "landmark_embedding.npy",
