@@ -102,3 +102,28 @@ def test_keypoints_cli_native_roundtrip(tmp_path, rng):
     assert sorted(data) == [f"view_{i:05d}" for i in range(2)]
     assert all(np.asarray(v).shape == (68, 2) for v in data.values())
     assert np.isfinite(np.asarray(list(data.values()))).all()
+
+
+def test_augment_batch_transforms_labels_consistently(rng):
+    """Domain randomization (train_keypoints --augment) must move the labels
+    exactly with the image: a bright dot painted at each landmark position
+    must be found at the TRANSFORMED label after augmentation."""
+    from morphablediffusion_tpu.apps.train_keypoints import augment_batch
+
+    H = W = 64
+    n_trials = 6
+    for t in range(n_trials):
+        r = np.random.default_rng(100 + t)
+        kpt = r.uniform(12, W - 12, size=(1, 1, 2)).astype(np.float32)
+        rgba = np.zeros((1, H, W, 4), np.float32)
+        rgba[..., 3] = 1.0  # opaque: background never shows
+        x, y = int(round(kpt[0, 0, 0])), int(round(kpt[0, 0, 1]))
+        rgba[0, y, x, :3] = 1.0  # single bright pixel at the landmark
+        kpt[0, 0] = [x, y]
+        aug_x, aug_y = augment_batch(rgba, kpt, r)
+        # brightest output pixel ~ transformed label (bilinear resize +
+        # optional blur smear within ~2 px)
+        lum = aug_x[0].sum(-1)
+        py, px = np.unravel_index(np.argmax(lum), lum.shape)
+        assert abs(px - aug_y[0, 0, 0]) <= 2.5 and \
+            abs(py - aug_y[0, 0, 1]) <= 2.5, (t, (px, py), aug_y[0, 0])
