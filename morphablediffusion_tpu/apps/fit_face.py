@@ -107,6 +107,11 @@ def main(argv=None):
     parser.add_argument("--n_exp", type=int, default=50)
     parser.add_argument("--focal", type=float, default=0.0,
                         help="fitting focal length in px (default: 1.2*max(H,W))")
+    parser.add_argument("--overlay", type=str, default="",
+                        help="write a PNG of the input photo with the "
+                             "DETECTED landmarks (green) and the fitted "
+                             "mesh's reprojected landmarks (red) — the "
+                             "visual QA artifact for real photos")
     flags = parser.parse_args(argv)
 
     from morphablediffusion_tpu.fitting import FitConfig, fit_two_photos, load_model
@@ -132,6 +137,43 @@ def main(argv=None):
     for k, v in info.items():
         print(f"  {k}: {v:.5f}", file=sys.stderr)
     print(f"fitted mesh -> {out} ({len(verts)} verts)")
+
+    if flags.overlay:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from morphablediffusion_tpu.fitting import fit_landmarks
+        from morphablediffusion_tpu.fitting.flame import (
+            flame_forward,
+            flame_landmarks,
+            project_points,
+        )
+
+        p_in, info_in = fit_landmarks(
+            model, lmk_in, K, FitConfig(steps_per_stage=flags.steps)
+        )
+        v_in = flame_forward(model, jnp.asarray(p_in["shape"]),
+                             jnp.asarray(p_in["exp"]), jnp.asarray(p_in["pose"]))
+        uv = np.asarray(project_points(
+            flame_landmarks(model, v_in, jnp.asarray(p_in["pose"])),
+            jnp.asarray(p_in["cam_r"]), jnp.asarray(p_in["cam_t"]),
+            jnp.asarray(K),
+        ))
+        canvas = (img_in * 255).astype(np.uint8).copy()
+
+        def dot(x, y, color, r=2):
+            xs = slice(max(int(x) - r, 0), int(x) + r + 1)
+            ys = slice(max(int(y) - r, 0), int(y) + r + 1)
+            canvas[ys, xs] = color
+
+        for x, y in lmk_in:
+            dot(x, y, (0, 255, 0))          # detected: green
+        for x, y in uv:
+            dot(x, y, (255, 0, 0), r=1)     # fitted reprojection: red
+        Path(flags.overlay).parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(canvas).save(flags.overlay)
+        print(f"overlay (input fit px err "
+              f"{info_in['mean_px_err']:.2f}) -> {flags.overlay}")
 
 
 if __name__ == "__main__":

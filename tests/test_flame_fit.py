@@ -212,3 +212,58 @@ def test_dyn_contour_bucket_matches_reference():
         got = int(_dyn_contour_index(jnp.asarray(pose)))
         want = reference_bucket(g, n)
         assert got == want, (gdeg, ndeg, got, want)
+
+
+@pytest.mark.slow
+def test_fit_face_cli_with_overlay(tmp_path):
+    """fit_face end to end on synthetic FLAME assets: precomputed landmarks
+    in, fitted .ply + QA overlay PNG out (the real-photo artifact path)."""
+    import json
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    # synthetic FLAME assets
+    subprocess.run(
+        [sys.executable, "tools/make_synthetic_flame.py",
+         "--out", str(tmp_path / "flame"), "--vertices", "256",
+         "--faces", "512"],
+        check=True, cwd="/root/repo",
+    )
+    from morphablediffusion_tpu.fitting.flame import (
+        flame_forward, flame_landmarks, load_model, project_points,
+    )
+
+    model = load_model(str(tmp_path / "flame" / "generic_model.pkl"),
+                       str(tmp_path / "flame" / "landmark_embedding.npy"))
+    rng = np.random.default_rng(0)
+    shape = jnp.asarray(rng.normal(size=model.n_shape) * 0.5, jnp.float32)
+    pose = jnp.zeros(model.num_joints * 3)
+    K = np.asarray([[307.2, 0, 128], [0, 307.2, 128], [0, 0, 1]], np.float32)
+    v = flame_forward(model, shape, jnp.zeros(model.n_exp), pose)
+    lmk = np.asarray(project_points(
+        flame_landmarks(model, v, pose), jnp.zeros(3),
+        jnp.asarray([0.0, 0.0, 0.6]), jnp.asarray(K)))
+    (tmp_path / "lmk.json").write_text(json.dumps(lmk.tolist()))
+    Image.fromarray(
+        np.full((256, 256, 3), 180, np.uint8)
+    ).save(tmp_path / "photo.png")
+
+    from morphablediffusion_tpu.apps.fit_face import main as fit_main
+
+    fit_main([
+        "--input_img", str(tmp_path / "photo.png"),
+        "--flame", str(tmp_path / "flame" / "generic_model.pkl"),
+        "--lmk_embedding", str(tmp_path / "flame" / "landmark_embedding.npy"),
+        "--input_landmarks", str(tmp_path / "lmk.json"),
+        "--exp_landmarks", str(tmp_path / "lmk.json"),
+        "--out", str(tmp_path / "mesh.ply"),
+        "--overlay", str(tmp_path / "overlay.png"),
+        "--steps", "25",
+    ])
+    assert (tmp_path / "mesh.ply").is_file()
+    arr = np.asarray(Image.open(tmp_path / "overlay.png"))
+    assert arr.shape == (256, 256, 3)
+    # detected landmarks painted green somewhere
+    assert ((arr[..., 1] == 255) & (arr[..., 0] == 0)).any()
