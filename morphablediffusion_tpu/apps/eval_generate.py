@@ -78,6 +78,10 @@ def main(argv=None):
         flags.data_dir, uids=[], image_size=cfg.model.image_size,
         num_views=N, max_vertices=cfg.model.max_vertices,
         mesh_topology=cfg.data.mesh_topology, shuffled_expression=False,
+        **(
+            {"flame_assets_dir": cfg.data.flame_assets_dir}
+            if cfg.data.flame_assets_dir else {}
+        ),
     )
 
     out = Path(flags.output_dir)
@@ -89,7 +93,10 @@ def main(argv=None):
     fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale)[0])
 
     done = 0
-    for subject in TEST_SUBJECTS:
+    # iterate the stage-1 JSON's subjects (== TEST_SUBJECTS for reference
+    # data; --subjects overrides there flow through here automatically)
+    for subject in sorted(metadata, key=lambda s: TEST_SUBJECTS.index(s)
+                          if s in TEST_SUBJECTS else len(TEST_SUBJECTS)):
         for exp in exps:
             d = Path(flags.data_dir) / subject / exp
             meta = metadata.get(subject.zfill(3), metadata.get(subject, {})).get(exp, {})

@@ -28,11 +28,11 @@ def _upright(camera_dict, view):
     return abs(Rot.from_matrix(RT[:3, :3]).as_euler("xyz", True)[-1]) <= 90
 
 
-def select_views(data_dir: str):
+def select_views(data_dir: str, subjects=None, expressions=None):
     metadata = {}
-    for subject in TEST_SUBJECTS:
+    for subject in (subjects or TEST_SUBJECTS):
         metadata[subject] = {}
-        for exp in TEST_EXPS:
+        for exp in (expressions or TEST_EXPS):
             metadata[subject][exp] = {}
             d = Path(data_dir) / subject / exp
             if not list(d.glob("view_*")):
@@ -62,8 +62,12 @@ def main(argv=None):
     parser.add_argument("--data_dir", type=str, required=True)
     parser.add_argument("--output", type=str,
                         default="./eval/facescape_input_target_views.json")
+    parser.add_argument("--subjects", type=str, nargs="*", default=None,
+                        help="override the reference test-subject list "
+                             "(e.g. held-out synthetic subjects)")
+    parser.add_argument("--expressions", type=str, nargs="*", default=None)
     flags = parser.parse_args(argv)
-    metadata = select_views(flags.data_dir)
+    metadata = select_views(flags.data_dir, flags.subjects, flags.expressions)
     Path(flags.output).parent.mkdir(parents=True, exist_ok=True)
     Path(flags.output).write_text(json.dumps(metadata))
     print(f"wrote {flags.output}")
