@@ -140,7 +140,11 @@ class DepthTransformer(nn.Module):
         if self.is_initializing():
             return False  # plain path creates all params
         inner = self.num_heads * self.head_dim
-        return context.shape[-2] >= 8 and inner % 128 == 0
+        # total spatial extent >= 8: the kernels tile small-W maps at H*W
+        # rows (plain path folds, ctx path hb-row-blocks), so the W=4
+        # middle-level blocks now ride the fused path too (PERF.md round-4
+        # W=4 lever study)
+        return context.shape[-2] * context.shape[-3] >= 8 and inner % 128 == 0
 
     def __call__(self, x, context, cfg_doubled: bool = False):
         inner = self.num_heads * self.head_dim

@@ -81,10 +81,23 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _pallas_forward(q, k, v, num_heads: int):
+def _pallas_forward(q, k, v, num_heads: int, interpret: bool = False):
     B, H, W, C = q.shape
     D = k.shape[1]
     hd = C // num_heads
+    if W < 8:
+        # W=4 blocks (the UNet's middle level) would run the kernel on
+        # 4-row tiles of a 128-wide MXU. Depth attention is per-pixel
+        # independent, so fold the whole spatial map into the row axis
+        # ((B, H, W, C) -> (B, 1, H*W, C)) and tile at H*W rows instead —
+        # exact, and above the measured W>=8 crossover.
+        out = _pallas_forward(
+            q.reshape(B, 1, H * W, C),
+            k.reshape(B, D, 1, H * W, C),
+            v.reshape(B, D, 1, H * W, C),
+            num_heads, interpret,
+        )
+        return out.reshape(B, H, W, C)
     kernel = functools.partial(_kernel, num_heads=num_heads, scale=hd**-0.5)
     return pl.pallas_call(
         kernel,
@@ -96,6 +109,7 @@ def _pallas_forward(q, k, v, num_heads: int):
         ],
         out_specs=pl.BlockSpec((1, 1, W, C), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), q.dtype),
+        interpret=interpret,
     )(q, k, v)
 
 
@@ -105,10 +119,13 @@ def _use_pallas(q, k) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     C = q.shape[-1]
-    W = q.shape[-2]
-    # W=4 blocks lose to XLA: the per-head segment matmul degenerates to
-    # N=4 columns on a 128-wide MXU tile. Measured crossover at W=8.
-    return C % 128 == 0 and W >= 8
+    H, W = q.shape[-3], q.shape[-2]
+    # Per-row tiles narrower than 8 lose to XLA (the per-head segment matmul
+    # degenerates on a 128-wide MXU tile; measured crossover at W=8), but
+    # depth attention is per-pixel independent, so small-W maps are folded
+    # into >=8-row tiles (H*W rows) by _pallas_forward / _ctx_pallas's hb
+    # row-blocking — gate on the TOTAL spatial extent.
+    return C % 128 == 0 and H * W >= 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -259,7 +276,8 @@ def _ctx_kernel(q_ref, ctx_ref, wp_ref, a_ref, b_ref, wk_ref, wv_ref, o_ref,
     o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
-def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
+def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int,
+                interpret: bool = False):
     B, H, W, Ci = q.shape
     D = ctx.shape[1]
     Cc = ctx.shape[-1]
@@ -291,6 +309,7 @@ def _ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, num_heads: int):
         ],
         out_specs=pl.BlockSpec((1, hb, W, Ci), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Ci), q.dtype),
+        interpret=interpret,
     )(q, ctx, Wp.astype(dt), A, B2, Wk.astype(dt), Wv.astype(dt))
 
 

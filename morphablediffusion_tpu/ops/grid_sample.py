@@ -102,7 +102,7 @@ def grid_sample_2d(feat, grid):
     return out.reshape(out_shape)
 
 
-def grid_sample_3d(feat, grid):
+def _grid_sample_3d_impl(feat, grid):
     """feat: (B, D, H, W, C); grid: (B, ..., 3) with (x, y, z) in [-1, 1].
 
     x indexes W, y indexes H, z indexes D (PyTorch convention).
@@ -204,3 +204,116 @@ def grid_sample_3d(feat, grid):
     ).astype(feat.dtype)  # (B, P, 2, 2, 2)
     out = jnp.einsum("bpzyx,bpzyxc->bpc", w, blocks)
     return out.reshape(out_shape)
+
+
+# --------------------------------------------------------------------------- #
+# Custom VJP: scatter-free feature gradient.
+#
+# Autodiff of the trilinear gather produces `lax.scatter_add` with
+# OVERLAPPING (2,2,2,C) windows, which XLA/TPU lowers to a SEQUENTIAL
+# while-loop — one iteration per point. Profiled on the training step
+# (PERF.md round-4): 262k-iteration loops updating the (B,48,48,48,64)
+# mesh-voxel grid and the 32^3 spatial volume dominated the whole step
+# (~3 s of a 3.3 s step at batch 8). The reference never sees this because
+# cuDNN/CUDA scatter-add is atomic-parallel (torch grid_sample backward).
+#
+# TPU-native replacement (sort + prefix-sum + gather, all parallel):
+#   1. each (point, corner) pair contributes w * g[p] to ONE voxel id;
+#   2. argsort the 8P ids (bitonic, vectorized);
+#   3. exclusive cumsum of the sorted contributions over fp32;
+#   4. per-voxel sums = csum[bounds[v+1]] - csum[bounds[v]] with
+#      bounds = searchsorted(ids_sorted, arange(V+1)) — binary searches
+#      and take_along_axis gathers only. No scatter anywhere.
+# --------------------------------------------------------------------------- #
+
+
+def _gs3d_corner_data(grid, feat_shape):
+    """Per-(point, corner) voxel ids and trilinear weights.
+
+    Returns ids (B, 8, P) int32 into the PADDED flat volume, w (B, 8, P)
+    fp32 — exactly the weights the forward's hat-tap formulation uses
+    (out-of-range points get zero weight, matching CLIP-mode semantics).
+    """
+    B, D0, H0, W0, C = feat_shape
+    g = grid.reshape(B, -1, 3)
+    ix = _unnormalize(g[..., 0], W0)
+    iy = _unnormalize(g[..., 1], H0)
+    iz = _unnormalize(g[..., 2], D0)
+    D, H, W = max(D0, 2), max(H0, 2), max(W0, 2)
+    sx = jnp.clip(jnp.floor(ix), 0, W - 2).astype(jnp.int32)
+    sy = jnp.clip(jnp.floor(iy), 0, H - 2).astype(jnp.int32)
+    sz = jnp.clip(jnp.floor(iz), 0, D - 2).astype(jnp.int32)
+
+    def taps(coord, start):
+        t0 = jnp.maximum(0.0, 1.0 - jnp.abs(coord - start))
+        t1 = jnp.maximum(0.0, 1.0 - jnp.abs(coord - (start + 1)))
+        return t0, t1
+
+    wx = taps(ix, sx)
+    wy = taps(iy, sy)
+    wz = taps(iz, sz)
+    ids, ws = [], []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ids.append(((sz + dz) * H + (sy + dy)) * W + (sx + dx))
+                ws.append(wz[dz] * wy[dy] * wx[dx])
+    return (jnp.stack(ids, axis=1), jnp.stack(ws, axis=1).astype(jnp.float32),
+            (D, H, W))
+
+
+def _gs3d_dfeat(grid, g_out, feat_shape, feat_dtype):
+    """d(out)/d(feat) pullback without lax.scatter (see header comment)."""
+    B, D0, H0, W0, C = feat_shape
+    gc = g_out.reshape(B, -1, C)
+    P = gc.shape[1]
+    ids8, w8, (D, H, W) = _gs3d_corner_data(grid, feat_shape)
+    N = 8 * P
+    ids = ids8.reshape(B, N)
+    w = w8.reshape(B, N)
+
+    order = jnp.argsort(ids, axis=1)
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    w_s = jnp.take_along_axis(w, order, axis=1)
+    pidx = order % P  # corner-major layout: entry n belongs to point n % P
+    g_s = jnp.take_along_axis(
+        gc.astype(jnp.float32), pidx[..., None], axis=1
+    )
+    u = g_s * w_s[..., None]                                  # (B, N, C) f32
+    csum = jnp.cumsum(u, axis=1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)
+
+    V = D * H * W
+    bounds = jax.vmap(
+        lambda a: jnp.searchsorted(a, jnp.arange(V + 1, dtype=jnp.int32))
+    )(ids_s).astype(jnp.int32)                                # (B, V+1)
+    lo = jnp.take_along_axis(csum, bounds[:, :-1, None], axis=1)
+    hi = jnp.take_along_axis(csum, bounds[:, 1:, None], axis=1)
+    dfeat = (hi - lo).reshape(B, D, H, W, C)[:, :D0, :H0, :W0]
+    return dfeat.astype(feat_dtype)
+
+
+@jax.custom_vjp
+def grid_sample_3d(feat, grid):
+    return _grid_sample_3d_impl(feat, grid)
+
+
+grid_sample_3d.__doc__ = _grid_sample_3d_impl.__doc__
+
+
+def _gs3d_fwd(feat, grid):
+    return _grid_sample_3d_impl(feat, grid), (feat, grid)
+
+
+def _gs3d_bwd(res, g_out):
+    feat, grid = res
+    dfeat = _gs3d_dfeat(grid, g_out, feat.shape, feat.dtype)
+    # coordinate gradient via autodiff with feat held constant: the pullback
+    # w.r.t. grid only touches the (elementwise) hat weights and the gathered
+    # corner blocks — gathers, never scatters
+    _, pull = jax.vjp(lambda gr: _grid_sample_3d_impl(feat, gr), grid)
+    (dgrid,) = pull(g_out)
+    return dfeat, dgrid
+
+
+grid_sample_3d.defvjp(_gs3d_fwd, _gs3d_bwd)

@@ -81,9 +81,14 @@ def make_diffusion_schedule(
 
 
 def make_ddim_timesteps(num_ddim_steps: int, num_ddpm_steps: int = 1000) -> np.ndarray:
-    """Uniform DDIM discretization with the reference's +1 offset."""
+    """Uniform DDIM discretization with the reference's +1 offset
+    (diffusionmodules/util.py:46-60), emitting EXACTLY num_ddim_steps
+    entries: `arange(0, T, c) + 1` overshoots to T (an out-of-range alpha
+    index) whenever num_ddim_steps does not divide T — e.g. 3 steps of a
+    1000-step schedule yielded [1, 334, 667, 1000]. Identical to the
+    reference for every divisor count (50: [1, 21, ..., 981])."""
     c = num_ddpm_steps // num_ddim_steps
-    return np.arange(0, num_ddpm_steps, c) + 1
+    return np.arange(num_ddim_steps) * c + 1
 
 
 def make_ddim_schedule(

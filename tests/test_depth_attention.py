@@ -43,6 +43,41 @@ def test_kernel_interpret_parity(rng, B, D, H, W, C, hn):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("B,D,H,W,C,hn", [(2, 12, 4, 4, 128, 4),
+                                          (1, 48, 4, 2, 128, 8)])
+def test_small_w_fold_parity(rng, B, D, H, W, C, hn):
+    """W<8 maps fold to (B, 1, H*W, C) tiles inside _pallas_forward — the
+    round-4 W=4 lever. Exactness of the fold: depth attention is per-pixel
+    independent, so reshaping the spatial map cannot change the result."""
+    q = _rand(rng, (B, H, W, C))
+    k = _rand(rng, (B, D, H, W, C))
+    v = _rand(rng, (B, D, H, W, C))
+    ref = da._reference(q, k, v, hn)
+    out = da._pallas_forward(q, k, v, hn, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ctx_kernel_small_w_parity(rng):
+    """_ctx_pallas at W=4/H=4 rides hb row-blocking (hb=4 -> 16-row tiles);
+    parity vs the plain-XLA fused-chain reference in interpret mode."""
+    B, D, H, W, Cc, heads, inner = 2, 12, 4, 4, 16, 4, 128
+    q = _rand(rng, (B, H, W, inner))
+    ctx = _rand(rng, (B, D, H, W, Cc))
+    Wp = _rand(rng, (Cc, Cc)) * 0.3
+    scale = 1.0 + 0.1 * _rand(rng, (Cc,))
+    bias = 0.1 * _rand(rng, (Cc,))
+    Wk = _rand(rng, (Cc, inner)) * 0.3
+    Wv = _rand(rng, (Cc, inner)) * 0.3
+
+    mean_x, m2 = da.ctx_moments(ctx)
+    A, B2 = da._ctx_affine(mean_x, m2, Wp, scale, bias, 8, 1e-5)
+    ref = da._ctx_reference(q, ctx, Wp, A, B2, Wk, Wv, heads)
+    out = da._ctx_pallas(q, ctx, Wp, A, B2, Wk, Wv, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_entrypoint_falls_back_on_cpu(rng):
     # On the CPU test backend the public entry must use the reference path
     q = _rand(rng, (1, 2, 2, 8))

@@ -97,3 +97,55 @@ def test_grid_sample_3d_overlap_path_matches_torch(rng):
                         align_corners=True)
     ref = ref[:, :, :, 0, 0].permute(0, 2, 1).numpy()
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_3d_custom_vjp_matches_autodiff(rng):
+    """The sort+prefix-sum feature gradient (scatter-free, PERF.md round-4)
+    must equal autodiff of the raw implementation, including out-of-range
+    points (zero contribution) and duplicate/colliding coordinates."""
+    import jax
+
+    from morphablediffusion_tpu.ops.grid_sample import (
+        _grid_sample_3d_impl,
+        grid_sample_3d,
+    )
+
+    B, D, H, W, C, P = 2, 5, 4, 6, 3, 50
+    feat = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+    pts = rng.uniform(-1.3, 1.3, size=(B, P, 3)).astype(np.float32)
+    pts[0, :7] = pts[0, 7:14]  # exact collisions exercise the segment sums
+    grid = jnp.asarray(pts)
+    cot = jnp.asarray(rng.normal(size=(B, P, C)), jnp.float32)
+
+    def loss(f, g, fn):
+        return jnp.sum(fn(f, g) * cot)
+
+    df_ref, dg_ref = jax.grad(
+        lambda f, g: loss(f, g, _grid_sample_3d_impl), argnums=(0, 1)
+    )(feat, grid)
+    df, dg = jax.grad(
+        lambda f, g: loss(f, g, grid_sample_3d), argnums=(0, 1)
+    )(feat, grid)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dg_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_3d_custom_vjp_degenerate_dim(rng):
+    import jax
+
+    from morphablediffusion_tpu.ops.grid_sample import (
+        _grid_sample_3d_impl,
+        grid_sample_3d,
+    )
+
+    B, D, H, W, C, P = 1, 1, 4, 4, 2, 20
+    feat = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1, 1, size=(B, P, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, P, C)), jnp.float32)
+    df_ref = jax.grad(
+        lambda f: jnp.sum(_grid_sample_3d_impl(f, grid) * cot))(feat)
+    df = jax.grad(lambda f: jnp.sum(grid_sample_3d(f, grid) * cot))(feat)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               rtol=1e-5, atol=1e-5)
