@@ -41,6 +41,11 @@ def main(argv=None):
                         "sampler's view axis (memory knob)")
     parser.add_argument("--limit", type=int, default=0,
                         help="stop after N (subject, expression) pairs (smoke)")
+    parser.add_argument("--nes_exp", type=str, nargs="*", default=["06"],
+                        help="expressions to synthesize in nes mode (the "
+                        "reference hardcodes the heldout expression '06', "
+                        "generate_all_facescape.py:79; override for datasets "
+                        "with a different heldout layout)")
     flags = parser.parse_args(argv)
 
     import jax
@@ -71,7 +76,8 @@ def main(argv=None):
     rng = random.Random(flags.seed)
 
     metadata = json.loads(Path(flags.views_json).read_text())
-    exps = ["06"] if flags.mode == "nes" else [str(i).zfill(2) for i in range(1, 21)]
+    exps = (list(flags.nes_exp) if flags.mode == "nes"
+            else [str(i).zfill(2) for i in range(1, 21)])
 
     # dataset object reused for its loading/transform helpers
     ds = FaceScapeDataset(
@@ -107,12 +113,17 @@ def main(argv=None):
             n_groups = math.ceil(len(targets) / N)
             padded = targets + targets[: n_groups * N - len(targets)]
 
+            submeta = metadata.get(subject.zfill(3), metadata.get(subject, {}))
             if flags.mode == "nes":
-                cands = [e for e in range(1, 21) if e != int(exp)]
-                input_exp = str(rng.choice(cands)).zfill(2)
+                # reference draws from range(1, 21) (generate_all_facescape
+                # .py:110); restrict to expressions stage 1 actually found so
+                # sparse datasets (e.g. the synthetic 2-expression layout)
+                # don't KeyError on a never-rendered input expression
+                cands = sorted(e for e in submeta if e != exp and submeta[e])
+                input_exp = rng.choice(cands)
             else:
                 input_exp = exp
-            input_meta = metadata.get(subject.zfill(3), metadata.get(subject, {}))[input_exp]
+            input_meta = submeta[input_exp]
             input_dir = Path(flags.data_dir) / subject / input_exp
             input_cams = json.loads((input_dir / "cameras.json").read_text())
             input_img = ds._load_view(input_dir, input_meta["input_view"])

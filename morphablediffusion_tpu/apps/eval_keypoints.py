@@ -26,22 +26,60 @@ from pathlib import Path
 import numpy as np
 
 
-def _native(image_dir: Path, weights: str, image_size: int):
+def _iter_view_images(image_dir: Path, views_json: str):
+    """Yield (key, PIL image) over per-view GT images; when views_json is
+    given, restrict to its subjects/expressions (saves re-detecting the whole
+    dataset when only the held-out eval subjects matter)."""
+    from PIL import Image
+
+    allow = None
+    if views_json:
+        meta = json.loads(Path(views_json).read_text())
+        allow = {(s, e) for s in meta for e in meta[s]}
+    for p in sorted(image_dir.rglob("*.png")):
+        rel = p.relative_to(image_dir)
+        if allow is not None:
+            if len(rel.parts) < 3 or (rel.parts[0], rel.parts[1]) not in allow:
+                continue
+        yield str(rel.with_suffix("")).replace("/", "_"), Image.open(p)
+
+
+def _iter_strip_tiles(image_dir: Path, views_json: str):
+    """Yield (key, tile) by slicing eval stage-2 strips into square tiles —
+    the reference does the same slicing inside predict_keypoints.py:219-232.
+    Tile i is target_views[i] from the stage-1 JSON; keys mirror the GT
+    scan's `{subject}_{exp}_view_{v:05d}_rgba_colorcalib` naming so eval_2d
+    can intersect pred/GT key sets directly."""
+    from PIL import Image
+
+    meta = json.loads(Path(views_json).read_text())
+    for p in sorted(image_dir.glob("*_*.png")):
+        subject, exp = p.stem.split("_")
+        m = meta.get(subject.zfill(3), meta.get(subject, {})).get(exp)
+        if not m:
+            continue
+        strip = Image.open(p)
+        side = strip.height
+        for i, v in enumerate(m["target_views"][: strip.width // side]):
+            key = f"{subject}_{exp}_view_{str(v).zfill(5)}_rgba_colorcalib"
+            yield key, strip.crop((i * side, 0, (i + 1) * side, side))
+
+
+def _native(images, weights: str, image_size: int):
     from PIL import Image
 
     from morphablediffusion_tpu.eval.keypoint_net import detect, load_params
 
     net, params = load_params(weights, image_size)
     keys, imgs, scales = [], [], []
-    for p in sorted(image_dir.rglob("*.png")):
-        key = str(p.relative_to(image_dir).with_suffix("")).replace("/", "_")
-        im = Image.open(p).convert("RGB")
+    for key, im in images:
+        im = im.convert("RGB")
         scales.append(np.asarray(im.size, np.float32) / image_size)
         im = im.resize((image_size, image_size), Image.BILINEAR)
         keys.append(key)
         imgs.append(np.asarray(im, np.float32) / 255.0)
     if not keys:
-        raise SystemExit(f"no .png images under {image_dir}")
+        raise SystemExit("no images matched")
     kpts = detect(net, params, np.stack(imgs))  # (N, 68, 2) at image_size
     # report in the original pixel grid of each image
     kpts = kpts * np.stack(scales)[:, None, :]
@@ -61,6 +99,15 @@ def main(argv=None):
                         help="shell command; {image_dir} and {output} are "
                              "substituted")
     parser.add_argument("--precomputed", type=str, default="")
+    parser.add_argument("--strips", action="store_true",
+                        help="treat --image_dir's {subject}_{exp}.png files "
+                             "as stage-2 view strips and slice them into "
+                             "square tiles (predict_keypoints.py:219-232); "
+                             "requires --views_json for the tile→view map")
+    parser.add_argument("--views_json", type=str, default="",
+                        help="stage-1 JSON: restricts a GT scan to its "
+                             "subjects/expressions, and maps strip tiles "
+                             "to view ids with --strips")
     flags = parser.parse_args(argv)
 
     out = Path(flags.output)
@@ -69,7 +116,13 @@ def main(argv=None):
         if not flags.weights:
             raise SystemExit("--backend native needs --weights "
                              "(see apps/train_keypoints.py)")
-        data = _native(Path(flags.image_dir), flags.weights, flags.image_size)
+        if flags.strips:
+            if not flags.views_json:
+                raise SystemExit("--strips needs --views_json")
+            images = _iter_strip_tiles(Path(flags.image_dir), flags.views_json)
+        else:
+            images = _iter_view_images(Path(flags.image_dir), flags.views_json)
+        data = _native(images, flags.weights, flags.image_size)
         out.write_text(json.dumps(data))
     elif flags.backend == "command":
         cmd = flags.command.format(image_dir=flags.image_dir, output=flags.output)

@@ -207,9 +207,14 @@ def main(argv=None):
             t_last = time.time()
             mem = jax.local_devices()[0].memory_stats() or {}
             hbm_gb = mem.get("bytes_in_use", 0) / 2**30
+            # host RSS: a multi-hour run that creeps toward the kernel OOM
+            # killer must be visible in the step log, not just in dmesg
+            with open("/proc/self/statm") as f:
+                rss_gb = int(f.read().split()[1]) * 4096 / 2**30
             lr = trainer.lr_at(step)
             print(f"step {step} loss {loss:.4f} lr {lr:.2e} "
-                  f"{dt*1000:.0f} ms/step hbm {hbm_gb:.1f} GiB")
+                  f"{dt*1000:.0f} ms/step hbm {hbm_gb:.1f} GiB "
+                  f"rss {rss_gb:.1f} GiB")
             if writer:
                 writer.add_scalar("train/loss", loss, step)
                 writer.add_scalar("train/step_time_s", dt, step)

@@ -76,6 +76,36 @@ def test_eval_keypoints_precomputed(eval_fixture, capsys):
     assert all(len(v) == 68 for v in data.values())
 
 
+def test_iter_strip_tiles_and_restricted_scan(eval_fixture):
+    """--strips slices {subject}_{exp}.png into per-target-view tiles with
+    GT-matching keys (predict_keypoints.py:219-232 does the same on the
+    reference side), and --views_json restricts the GT scan to stage-1
+    subjects/expressions."""
+    from morphablediffusion_tpu.apps.eval_keypoints import (
+        _iter_strip_tiles,
+        _iter_view_images,
+    )
+
+    tmp_path, views_json, gen_dir, *_ = eval_fixture
+    meta = json.loads(views_json.read_text())
+    sel = meta["122"]["01"]["target_views"]
+
+    tiles = dict(_iter_strip_tiles(gen_dir, str(views_json)))
+    assert set(tiles) == {
+        f"122_01_view_{str(v).zfill(5)}_rgba_colorcalib" for v in sel
+    }
+    assert all(t.size == (32, 32) for t in tiles.values())
+
+    gt = dict(_iter_view_images(tmp_path / "data", str(views_json)))
+    # keys intersect exactly: eval_2d pairs pred/GT by key set intersection
+    assert set(tiles) <= set(gt)
+    # tile pixels equal the GT view they were sliced from (strip == GT here)
+    for key, tile in tiles.items():
+        assert np.array_equal(
+            np.asarray(tile), np.asarray(gt[key].convert("RGB"))
+        )
+
+
 def test_eval_2d_perfect_reconstruction(eval_fixture):
     tmp_path, views_json, gen_dir, gt_kpts, pred_kpts = eval_fixture
     result = eval_2d_main([
