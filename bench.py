@@ -46,11 +46,16 @@ def main():
         cfg = load_config(cfg_path)
     else:
         cfg = Config()
-    # BENCH_W8A8=1: serve the UNet's internal convs in int8 (ops/int8.py).
-    # Param tree unchanged — the same checkpoint import applies.
-    if os.environ.get("BENCH_W8A8") == "1":
+    # W8A8 int8 UNet serving (ops/int8.py) is the DEFAULT serving config —
+    # quality-gated in round 4: (a) golden 3-step CFG-denoise trajectory vs
+    # the reference modules < 5% rel L2 (tests/test_golden_denoise.py),
+    # (b) full eval harness on the trained from-scratch model matches bf16
+    # within noise (PERF.md table). Param tree unchanged — the same
+    # checkpoint import applies. BENCH_W8A8=0 opts back into bf16 convs.
+    if os.environ.get("BENCH_W8A8", "1") != "0":
         cfg.model.unet.w8a8 = True
-        print("# W8A8 int8 UNet serving enabled", file=sys.stderr)
+        print("# W8A8 int8 UNet serving enabled (BENCH_W8A8=0 for bf16)",
+              file=sys.stderr)
     model = MorphableDiffusion(cfg.model)
 
     # flagship-shaped synthetic batch (B=1, 16 views, 256^2, FLAME- or

@@ -46,6 +46,10 @@ def main(argv=None):
                         "reference hardcodes the heldout expression '06', "
                         "generate_all_facescape.py:79; override for datasets "
                         "with a different heldout layout)")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="serve the UNet's internal convs in W8A8 int8 "
+                             "(ops/int8.py) — the int8 quality gate runs the "
+                             "eval harness under this flag")
     flags = parser.parse_args(argv)
 
     import jax
@@ -59,6 +63,8 @@ def main(argv=None):
     from morphablediffusion_tpu.utils.config import load_config
 
     cfg = load_config(flags.cfg)
+    if flags.w8a8:
+        cfg.model.unet.w8a8 = True
     if str(flags.ckpt).endswith((".ckpt", ".pt", ".pth")):
         # checkpoints with trained spconv weights select the fine-grid
         # conditioner (see generate_face.autoselect_fine_conditioner); the

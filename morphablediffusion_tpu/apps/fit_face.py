@@ -41,7 +41,8 @@ def _load_image(path: str):
     return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
 
 
-def _detect(img: np.ndarray, precomputed: str, kpt_weights: str) -> np.ndarray:
+def _detect(img: np.ndarray, precomputed: str, kpt_weights: str,
+            kpt_size: int = 128) -> np.ndarray:
     """(H, W, 3) [0,1] -> (68, 2) pixel coords, trying backends in order:
     precomputed file, face_alignment (if installed), native landmark net."""
     if precomputed:
@@ -74,8 +75,8 @@ def _detect(img: np.ndarray, precomputed: str, kpt_weights: str) -> np.ndarray:
 
     from morphablediffusion_tpu.eval.keypoint_net import detect, load_params
 
-    size = 256
-    net, params = load_params(kpt_weights, size)
+    size = kpt_size  # run the net at its TRAINING resolution (shipped
+    net, params = load_params(kpt_weights, size)  # nets train at 128 px)
     im = Image.fromarray((img * 255).astype(np.uint8)).resize(
         (size, size), Image.BILINEAR
     )
@@ -98,6 +99,10 @@ def main(argv=None):
                         help="output fitted mesh .ply")
     parser.add_argument("--kpt_weights", type=str, default="",
                         help="native landmark-net weights")
+    parser.add_argument("--kpt_size", type=int, default=128,
+                        help="inference resolution for the native landmark "
+                             "net — use the resolution it was trained at "
+                             "(shipped artifacts/landmark_net_*.msgpack: 128)")
     parser.add_argument("--input_landmarks", type=str, default="",
                         help="precomputed (68,2) .npy/.json for input_img")
     parser.add_argument("--exp_landmarks", type=str, default="")
@@ -119,8 +124,10 @@ def main(argv=None):
 
     img_in = _load_image(flags.input_img)
     img_exp = _load_image(flags.exp_img or flags.input_img)
-    lmk_in = _detect(img_in, flags.input_landmarks, flags.kpt_weights)
-    lmk_exp = _detect(img_exp, flags.exp_landmarks, flags.kpt_weights)
+    lmk_in = _detect(img_in, flags.input_landmarks, flags.kpt_weights,
+                     flags.kpt_size)
+    lmk_exp = _detect(img_exp, flags.exp_landmarks, flags.kpt_weights,
+                      flags.kpt_size)
 
     model = load_model(flags.flame, flags.lmk_embedding,
                        n_shape=flags.n_shape, n_exp=flags.n_exp)

@@ -54,7 +54,7 @@ def _random_background(H, W, rng):
     if kind == 1:
         c0, c1 = rng.uniform(0, 1, (2, 3)).astype(np.float32)
         t = (xx / W * rng.uniform(-1, 1) + yy / H * rng.uniform(-1, 1))
-        t = ((t - t.min()) / max(t.ptp(), 1e-6))[..., None]
+        t = ((t - t.min()) / max(float(np.ptp(t)), 1e-6))[..., None]
         return c0 * (1 - t) + c1 * t
     bg = np.full((H, W, 3), rng.uniform(0, 1, 3), np.float32)
     for _ in range(rng.integers(4, 10)):
@@ -213,8 +213,10 @@ def main(argv=None):
     Y = np.stack([labels[k] for k in keys])
 
     net = LandmarkNet()
+    # init on a 3-channel example: with --augment X still carries the GT
+    # alpha (consumed by the compositor), but the net always sees RGB
     params = net.init(
-        jax.random.key(flags.seed), jnp.asarray(X[:1])
+        jax.random.key(flags.seed), jnp.asarray(X[:1, ..., :3])
     )
     tx = optax.adam(flags.lr)
     opt_state = tx.init(params)

@@ -291,3 +291,34 @@ def test_full_denoise_step_golden(ref_step_modules, rng):
         denom_s = np.maximum(np.abs(ref_traj[s]), 1e-3)
         rel = np.max(np.abs(got_s - ref_traj[s]) / denom_s)
         assert rel < 1e-2, (s, rel)
+
+    # ---------------- W8A8 int8 serving trajectory gate ----------------
+    # The quality gate for the int8 harvest (VERDICT r3 item 2): the SAME
+    # imported weights served with w8a8=True must keep the 3-step CFG-denoise
+    # latent trajectory close to the reference — loosened tolerance (int8
+    # symmetric quantization is ~1-2% per conv; the CFG subtraction and
+    # 3-step chaining amplify it, but the trajectory must stay on-manifold).
+    model_q = MorphableDiffusion(
+        dataclasses.replace(
+            cfg.model, unet=dataclasses.replace(cfg.model.unet, w8a8=True)
+        )
+    )
+    x_cur_q = x_j
+    for s in range(n_traj):
+        idx_s = index - s
+        t_s = jnp.full((B,), int(samp.ddim_timesteps[idx_s]), jnp.int32)
+        eps_q = model_q.apply(
+            imported, x_cur_q, t_s, jnp.asarray(clip_embed), x_in_j,
+            jnp.asarray(v_embed), batch_j, cfg_scale,
+            method="predict_eps_cfg",
+        )
+        x_cur_q = schedules.ddim_step(
+            x_cur_q, eps_q, jnp.asarray(idx_s), dd,
+            sigma_noise=jnp.zeros_like(x_cur_q),
+        )
+        got_q = np.moveaxis(np.asarray(x_cur_q), -1, 2)
+        # relative L2 over the whole latent: robust to isolated near-zero
+        # entries that the elementwise metric above would divide by
+        rel_q = (np.linalg.norm(got_q - ref_traj[s])
+                 / np.linalg.norm(ref_traj[s]))
+        assert rel_q < 0.05, (s, rel_q)

@@ -92,6 +92,16 @@ def test_keypoints_cli_native_roundtrip(tmp_path, rng):
     ])
     assert weights.is_file()
 
+    # the --augment path loads RGBA and trains on composited RGB — run it
+    # end-to-end too (it regressed twice: ndarray.ptp, 4ch init example)
+    weights_dr = tmp_path / "net_dr.msgpack"
+    train_main([
+        "--image_dir", str(img_dir), "--labels", str(label_path),
+        "--out", str(weights_dr), "--steps", "3", "--batch", "2",
+        "--image_size", str(S), "--augment",
+    ])
+    assert weights_dr.is_file()
+
     out = tmp_path / "kpts.json"
     kpts_main([
         "--image_dir", str(img_dir), "--output", str(out),
@@ -109,6 +119,15 @@ def test_augment_batch_transforms_labels_consistently(rng):
     exactly with the image: a bright dot painted at each landmark position
     must be found at the TRANSFORMED label after augmentation."""
     from morphablediffusion_tpu.apps.train_keypoints import augment_batch
+
+    from morphablediffusion_tpu.apps.train_keypoints import _random_background
+
+    # every background class must at least evaluate (the gradient branch
+    # regressed under NumPy 2.0's ndarray.ptp removal)
+    r = np.random.default_rng(0)
+    for _ in range(12):
+        bg = _random_background(32, 32, r)
+        assert bg.shape == (32, 32, 3) and np.isfinite(bg).all()
 
     H = W = 64
     n_trials = 6
