@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--cfg_scale", type=float, default=2.0)
     parser.add_argument("--seed", type=int, default=6033)
     parser.add_argument("--sample_steps", type=int, default=50)
+    parser.add_argument("--eta", type=float, default=1.0,
+                        help="DDIM eta (reference uses 1.0; 0 = deterministic)")
     parser.add_argument("--batch_view_num", type=int, default=0,
                         help="0 = all views in one batch; >0 chunks the "
                         "sampler's view axis (memory knob)")
@@ -101,7 +103,8 @@ def main(argv=None):
 
     params = None
     sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps,
-                              batch_view_num=flags.batch_view_num)
+                              batch_view_num=flags.batch_view_num,
+                              eta=flags.eta)
     fn = jax.jit(lambda p, b, r: sampler.sample(p, b, r, flags.cfg_scale)[0])
 
     done = 0
@@ -126,6 +129,12 @@ def main(argv=None):
                 # sparse datasets (e.g. the synthetic 2-expression layout)
                 # don't KeyError on a never-rendered input expression
                 cands = sorted(e for e in submeta if e != exp and submeta[e])
+                if not cands:
+                    raise SystemExit(
+                        f"nes mode: no alternate input expression for "
+                        f"{subject}/{exp} (stage 1 found only this expression;"
+                        f" pass --nes_exp or rerun stage 1 with more)"
+                    )
                 input_exp = rng.choice(cands)
             else:
                 input_exp = exp

@@ -35,7 +35,11 @@ def _iter_view_images(image_dir: Path, views_json: str):
     allow = None
     if views_json:
         meta = json.loads(Path(views_json).read_text())
-        allow = {(s, e) for s in meta for e in meta[s]}
+        # subject keys are zero-padded in the stage-1 JSON but may be
+        # unpadded on disk (and vice versa) — admit both spellings, matching
+        # the zfill(3) normalization used by eval_generate/_iter_strip_tiles
+        allow = {(sk, e) for s in meta for e in meta[s]
+                 for sk in (s, s.zfill(3), s.lstrip("0") or "0")}
     for p in sorted(image_dir.rglob("*.png")):
         rel = p.relative_to(image_dir)
         if allow is not None:
@@ -54,7 +58,12 @@ def _iter_strip_tiles(image_dir: Path, views_json: str):
 
     meta = json.loads(Path(views_json).read_text())
     for p in sorted(image_dir.glob("*_*.png")):
-        subject, exp = p.stem.split("_")
+        # strips are named {subject}_{exp}.png; skip stray files whose stem
+        # doesn't match (e.g. view_00001_rgba copies dropped in the dir)
+        parts = p.stem.split("_")
+        if len(parts) != 2:
+            continue
+        subject, exp = parts
         m = meta.get(subject.zfill(3), meta.get(subject, {})).get(exp)
         if not m:
             continue

@@ -164,6 +164,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=6033)
     parser.add_argument("--sampler", type=str, default="ddim")
     parser.add_argument("--sample_steps", type=int, default=50)
+    parser.add_argument("--eta", type=float, default=1.0,
+                        help="DDIM eta (reference uses 1.0; 0 = deterministic)")
     parser.add_argument("--camera_trajectory", type=str, default="virtual",
                         choices=["real", "virtual"])
     parser.add_argument("--trajectory_pkl", type=str,
@@ -243,7 +245,8 @@ def main(argv=None):
 
         params = cast_params_for_serving(params)
     sampler = SyncDDIMSampler(model, sample_steps=flags.sample_steps,
-                              batch_view_num=flags.batch_view_num)
+                              batch_view_num=flags.batch_view_num,
+                              eta=flags.eta)
     vs = None
     if flags.view_parallel and len(jax.devices()) > 1:
         from morphablediffusion_tpu.parallel.mesh import (

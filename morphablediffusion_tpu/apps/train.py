@@ -209,8 +209,11 @@ def main(argv=None):
             hbm_gb = mem.get("bytes_in_use", 0) / 2**30
             # host RSS: a multi-hour run that creeps toward the kernel OOM
             # killer must be visible in the step log, not just in dmesg
-            with open("/proc/self/statm") as f:
-                rss_gb = int(f.read().split()[1]) * 4096 / 2**30
+            try:  # /proc is Linux-only; log 0 where it's absent
+                with open("/proc/self/statm") as f:
+                    rss_gb = int(f.read().split()[1]) * 4096 / 2**30
+            except OSError:
+                rss_gb = 0.0
             lr = trainer.lr_at(step)
             print(f"step {step} loss {loss:.4f} lr {lr:.2e} "
                   f"{dt*1000:.0f} ms/step hbm {hbm_gb:.1f} GiB "

@@ -72,11 +72,14 @@ def soft_argmax(maps: jnp.ndarray, temperature: float = 1.0) -> jnp.ndarray:
     """(B, K, h, w) -> (B, K, 2) expected (x, y) in heatmap pixels."""
     B, K, h, w = maps.shape
     p = jax.nn.softmax(maps.reshape(B, K, h * w) / temperature, axis=-1)
-    p = p.reshape(B, K, h, w)
-    xs = jnp.arange(w, dtype=p.dtype)
-    ys = jnp.arange(h, dtype=p.dtype)
-    x = jnp.sum(p.sum(axis=2) * xs, axis=-1)
-    y = jnp.sum(p.sum(axis=3) * ys, axis=-1)
+    # expectations as matvecs over the flattened grid: mathematically the
+    # same marginal sums, but avoids a two-axis reduce whose (B,68,h,w)
+    # operand trips a TPU AOT layout bug (reduce dims={1,2} -> the compiler
+    # asserts f32[32,68] vs f32[68,32]{1,0:T(8,128)})
+    grid_x = jnp.tile(jnp.arange(w, dtype=p.dtype), h)
+    grid_y = jnp.repeat(jnp.arange(h, dtype=p.dtype), w)
+    x = p @ grid_x
+    y = p @ grid_y
     return jnp.stack([x, y], axis=-1)
 
 

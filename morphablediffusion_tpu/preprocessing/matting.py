@@ -112,8 +112,31 @@ def estimate_alpha(img: np.ndarray, k_bg: int = 4, k_fg: int = 4,
                            .sum(-1).min(1))
 
     alpha = alpha.reshape(H, W)
+    alpha = _fill_interior_background(alpha)
     alpha = _guided_filter(img, alpha, r=max(4, min(H, W) // 32))
     return np.clip(alpha, 0.0, 1.0)
+
+
+def _fill_interior_background(alpha: np.ndarray) -> np.ndarray:
+    """True background is connected to the image border; any 'background'
+    region that is fully enclosed by foreground (eyes, teeth, shadowed
+    nostrils — dark features the color model confuses with a dark backdrop)
+    is a hole and belongs to the subject. Pure connectivity, no color."""
+    try:
+        from scipy import ndimage
+    except ImportError:  # pragma: no cover - scipy is baked into the image
+        return alpha
+    bg = alpha <= 0.5
+    labels, n = ndimage.label(bg)
+    if n == 0:
+        return alpha
+    border_labels = np.unique(
+        np.concatenate([labels[0], labels[-1], labels[:, 0], labels[:, -1]])
+    )
+    hole = bg & ~np.isin(labels, border_labels[border_labels > 0])
+    out = alpha.copy()
+    out[hole] = 1.0
+    return out
 
 
 def matte(img_uint8: np.ndarray, backend: str = "auto") -> np.ndarray:
