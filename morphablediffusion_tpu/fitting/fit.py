@@ -62,6 +62,19 @@ class FitConfig:
     # they get a lower weight than the 51 inner points (only applied to
     # 68-point sets)
     w_contour: float = 0.4
+    # silhouette stage (runs only when fit_landmarks gets a subject mask):
+    # weights for the two residual blocks (fitting/silhouette.py) and the
+    # number of visibility-refresh rounds (visibility is rasterized with the
+    # native z-buffer OUTSIDE the jitted stage, then held fixed within it)
+    w_sil_inside: float = 0.05
+    w_sil_cover: float = 0.2
+    sil_rounds: int = 2
+    sil_contour_n: int = 96
+    # which parameters the silhouette stage may move: "rigid" (camera +
+    # global rotation — the default; measured on synthetic ground truth,
+    # letting the morphable codes chase the silhouette only walks the
+    # prior's null space, see docs/FITTING.md) or "full"
+    sil_trainable: str = "rigid"
 
 
 def init_params(model: FlameModel, image_size: int) -> Dict[str, jnp.ndarray]:
@@ -205,6 +218,8 @@ def fit_landmarks(
     init: Optional[Dict[str, jnp.ndarray]] = None,
     image_size: int = 256,
     freeze_shape: bool = False,
+    mask: Optional[np.ndarray] = None,  # (S, S) subject matte -> +silhouette
+    lmk_conf: Optional[np.ndarray] = None,  # (L,) per-landmark confidence
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
     """Fit FLAME parameters to one photo's 2D landmarks.
 
@@ -227,6 +242,11 @@ def fit_landmarks(
     weight = np.ones((L,), np.float32)
     if L == 68:  # contour-first ibug layout (flame_landmarks's output order)
         weight[:17] = cfg.w_contour
+    if lmk_conf is not None:
+        # detector confidence (0 = unobserved: occlusion, profile view);
+        # weights multiply the squared residual, so confidences act as
+        # per-landmark inverse noise variances
+        weight = weight * np.asarray(lmk_conf, np.float32)
     weight = jnp.asarray(weight)
 
     params = init or init_params(model, image_size)
@@ -241,12 +261,64 @@ def fit_landmarks(
     )
     info = {}
     flat = flat0
-    for name in ("rigid", "expression", "full"):
+    # with NO observed landmarks (a pure-silhouette fit) the landmark
+    # stages would minimize the priors alone — shrinking whatever codes the
+    # caller initialized toward zero for no data reason; skip them
+    stages = () if float(np.asarray(weight).max()) == 0 else (
+        "rigid", "expression", "full")
+    for name in stages:
         mask_flat, _ = jax.flatten_util.ravel_pytree(
             {k: jnp.asarray(masks[name][k], jnp.float32) for k in params}
         )
         flat, cost = run(flat, mask_flat, cfg.steps_per_stage)
         info[f"loss_{name}"] = float(cost)
+
+    if mask is not None and (cfg.w_sil_inside > 0 or cfg.w_sil_cover > 0):
+        # 4th stage: landmark + silhouette coupling (the shape-constraining
+        # half of the tracker's photometric stage — see fitting/silhouette.py)
+        from morphablediffusion_tpu.fitting import silhouette as sil
+
+        mask_np = np.asarray(mask).astype(bool)
+        S = mask_np.shape[0]
+        dt_out = jnp.asarray(sil.mask_to_dt(mask_np))
+        contour = jnp.asarray(sil.mask_contour(mask_np, cfg.sil_contour_n))
+        px_scale = float(300.0 / np.asarray(K)[0, 0])
+        sil_stage = "rigid" if cfg.sil_trainable == "rigid" else "full"
+        full_mask_flat, _ = jax.flatten_util.ravel_pytree(
+            {k: jnp.asarray(masks[sil_stage][k], jnp.float32) for k in params}
+        )
+
+        def sil_res_fn(f, vis, deadband, corr):
+            p = unravel(f)
+            verts = flame_forward(model, p["shape"], p["exp"], p["pose"])
+            uv = project_points(verts, p["cam_r"], p["cam_t"], K)
+            r_in, r_cov = sil.silhouette_residuals(
+                uv, vis, dt_out, *corr, px_scale,
+                cfg.w_sil_inside, cfg.w_sil_cover, deadband_px=deadband,
+            )
+            return jnp.concatenate(
+                [_residuals(p, model, lmk2d, K, cfg, weight), r_in, r_cov]
+            )
+
+        contour_np = np.asarray(contour)
+        for _ in range(cfg.sil_rounds):
+            p_np = {k: np.asarray(v) for k, v in unravel(flat).items()}
+            vis_np = sil.vertex_visibility(model, p_np, np.asarray(K), S)
+            vpx = sil._verts_px(model, p_np, np.asarray(K))[:, :2]
+            deadband = sil.vertex_spacing_px(vpx, vis_np)
+            corr = sil.contour_correspondences(
+                contour_np, sil.render_silhouette(model, p_np, np.asarray(K), S),
+                vpx, vis_np, max_px=0.15 * S, target_mask=mask_np,
+            )
+            run_sil = _lm_stage_runner(
+                functools.partial(
+                    sil_res_fn, vis=jnp.asarray(vis_np), deadband=deadband,
+                    corr=tuple(jnp.asarray(c) for c in corr),
+                ), P
+            )
+            flat, cost = run_sil(flat, full_mask_flat, cfg.steps_per_stage)
+        info["loss_silhouette"] = float(cost)
+
     params = unravel(flat)
 
     verts = flame_forward(model, params["shape"], params["exp"], params["pose"])
@@ -254,8 +326,9 @@ def fit_landmarks(
         flame_landmarks(model, verts, params["pose"]),
         params["cam_r"], params["cam_t"], K,
     )
+    obs = (weight > 0).astype(jnp.float32)  # report err on observed lmks only
     info["mean_px_err"] = float(
-        jnp.mean(jnp.linalg.norm(uv - lmk2d, axis=-1))
+        jnp.sum(jnp.linalg.norm(uv - lmk2d, axis=-1) * obs) / jnp.sum(obs)
     )
     return canonicalize_global(
         model, {k: np.asarray(v) for k, v in params.items()}

@@ -267,3 +267,86 @@ def test_fit_face_cli_with_overlay(tmp_path):
     assert arr.shape == (256, 256, 3)
     # detected landmarks painted green somewhere
     assert ((arr[..., 1] == 255) & (arr[..., 0] == 0)).any()
+
+
+# ------------------------------------------------------------------ #
+# silhouette stage (fitting/silhouette.py)
+
+
+def test_silhouette_residuals_vanish_at_ground_truth(rng):
+    """At GT parameters the hinged DT term reads ~0 for visible vertices and
+    point-to-plane contour residuals sit within the vertex-spacing floor."""
+    from morphablediffusion_tpu.fitting import silhouette as sil
+
+    model = random_model(rng, n_verts=256)
+    S = 128
+    K = np.asarray([[1.2 * S, 0, S / 2], [0, 1.2 * S, S / 2], [0, 0, 1]],
+                   np.float32)
+    gt = {
+        "shape": rng.normal(size=model.n_shape).astype(np.float32),
+        "exp": rng.normal(size=model.n_exp).astype(np.float32),
+        "pose": np.zeros(model.num_joints * 3, np.float32),
+        "cam_r": np.zeros(3, np.float32),
+        "cam_t": np.asarray([0, 0, 0.9], np.float32),
+    }
+    mask = sil.render_silhouette(model, gt, K, S)
+    assert 0.02 < mask.mean() < 0.9, "mesh must land in frame"
+    vis = sil.vertex_visibility(model, gt, K, S)
+    assert 0.1 < vis.mean() <= 1.0
+    vpx = sil._verts_px(model, gt, K)[:, :2]
+    dt = sil.mask_to_dt(mask)
+    dval = np.asarray(sil.sample_dt(jnp.asarray(dt), jnp.asarray(vpx)))
+    assert (dval * vis).max() < 2.0, "visible GT vertices sit in the mask"
+    contour = sil.mask_contour(mask, 48)
+    vids, pts, normals, w = sil.contour_correspondences(
+        contour, mask, vpx, vis, max_px=0.15 * S, target_mask=mask
+    )
+    assert w.sum() > 24
+    spacing = sil.vertex_spacing_px(vpx, vis)
+    normal_err = np.abs(((vpx[vids] - pts) * normals).sum(1)) * w
+    assert np.median(normal_err[w > 0]) < max(2.0, spacing), normal_err.max()
+
+
+def test_silhouette_only_rigid_recovery(rng):
+    """With ALL landmarks unobserved (conf=0) the silhouette stage alone must
+    recover 2D silhouette alignment from a rigid perturbation — machinery
+    check for the ICP + hinged-DT + visibility loop (docs/FITTING.md: on
+    synthetic assets the stage is 2D-informative but cannot reduce 3D vRMS)."""
+    from morphablediffusion_tpu.fitting import silhouette as sil
+    from morphablediffusion_tpu.fitting.fit import init_params
+
+    model = random_model(rng, n_verts=256, n_landmarks=24)
+    S = 128
+    K = np.asarray([[1.2 * S, 0, S / 2], [0, 1.2 * S, S / 2], [0, 0, 1]],
+                   np.float32)
+    gt = {
+        "shape": rng.normal(size=model.n_shape).astype(np.float32),
+        "exp": rng.normal(size=model.n_exp).astype(np.float32),
+        "pose": np.zeros(model.num_joints * 3, np.float32),
+        "cam_r": np.zeros(3, np.float32),
+        "cam_t": np.asarray([0, 0, 0.9], np.float32),
+    }
+    mask = sil.render_silhouette(model, gt, K, S)
+
+    init = init_params(model, S)
+    init["shape"] = jnp.asarray(gt["shape"])
+    init["exp"] = jnp.asarray(gt["exp"])
+    init["cam_r"] = jnp.asarray([0.04, -0.03, 0.02])
+    init["cam_t"] = jnp.asarray(gt["cam_t"] + np.asarray([0.025, -0.02, 0.0],
+                                                         np.float32))
+
+    def iou(p):
+        m = sil.render_silhouette(model, p, K, S)
+        return (m & mask).sum() / (m | mask).sum()
+
+    before = iou({k: np.asarray(v) for k, v in init.items()})
+    params, _ = fit_landmarks(
+        model, np.zeros((24, 2), np.float32), K,
+        FitConfig(steps_per_stage=25, sil_rounds=3),
+        init=init, lmk_conf=np.zeros(24, np.float32), mask=mask, image_size=S,
+    )
+    after = iou(params)
+    # convergence floor is the ~2 px contour discretization; on this tiny
+    # (~28 px) head that is IoU ~0.7 (at 92 px heads the same machinery
+    # reaches 0.95 — docs/FITTING.md)
+    assert after > before + 0.08, (before, after)

@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--silhouette", action="store_true",
+                    help="also fit WITH the silhouette stage (GT mask "
+                         "rendered by the native rasterizer) and record the "
+                         "vertex-RMS delta vs landmark-only")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -126,6 +130,21 @@ def main(argv=None):
             t0 = time.time()
             params, info = fit_landmarks(model, l2d_obs, K, cfg)
             fit_s = time.time() - t0
+            params_sil = None
+            if args.silhouette:
+                from morphablediffusion_tpu.fitting.silhouette import (
+                    render_silhouette,
+                )
+
+                gt_mask = render_silhouette(
+                    model,
+                    {"shape": shape, "exp": exp, "pose": pose,
+                     "cam_r": np.asarray(cam_r), "cam_t": np.asarray(cam_t)},
+                    K, S,
+                )
+                params_sil, info_sil = fit_landmarks(
+                    model, l2d_obs, K, cfg, mask=gt_mask, image_size=S
+                )
             v_fit = np.asarray(flame_forward(
                 model, jnp.asarray(params["shape"]), jnp.asarray(params["exp"]),
                 jnp.asarray(params["pose"]),
@@ -152,10 +171,26 @@ def main(argv=None):
                 "exp_cos": cos(params["exp"], exp),
                 "fit_seconds": fit_s,
             })
+            if params_sil is not None:
+                v_sil = np.asarray(flame_forward(
+                    model, jnp.asarray(params_sil["shape"]),
+                    jnp.asarray(params_sil["exp"]),
+                    jnp.asarray(params_sil["pose"]),
+                ))
+                v_sil_cam = to_cam(v_sil, params_sil["cam_r"],
+                                   params_sil["cam_t"])
+                rms_sil = float(np.sqrt(np.mean(
+                    np.sum((v_sil_cam - v_gt_cam) ** 2, axis=1))))
+                rows[-1]["vertex_rms_sil"] = rms_sil
+                rows[-1]["vertex_rms_sil_rel"] = rms_sil / radius
+                rows[-1]["sil_px_err"] = info_sil["mean_px_err"]
             print(f"noise {noise}px trial {trial}: px {rows[-1]['px_err']:.3f} "
                   f"vRMS {rms:.5f} ({100*rows[-1]['vertex_rms_rel']:.2f}% of "
                   f"head radius) shape_cos {rows[-1]['shape_cos']:.3f} "
-                  f"exp_cos {rows[-1]['exp_cos']:.3f} [{fit_s:.1f}s]",
+                  f"exp_cos {rows[-1]['exp_cos']:.3f} [{fit_s:.1f}s]"
+                  + (f" | +sil vRMS {rows[-1]['vertex_rms_sil']:.5f} "
+                     f"({100*rows[-1]['vertex_rms_sil_rel']:.2f}%)"
+                     if params_sil is not None else ""),
                   flush=True)
         agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         agg["trials"] = rows
