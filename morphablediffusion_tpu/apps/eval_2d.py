@@ -325,6 +325,28 @@ def main(argv=None):
         "pck@0.2": pck_val,
         "re_id": reid_val,
     }
+    # self-describing nulls: say WHY a metric is absent, in the artifact
+    # itself (committed JSONs otherwise carry silent nulls — EVAL.md has
+    # the context but the file should stand alone)
+    unavailable = {}
+    if result["lpips"] is None:
+        unavailable["lpips"] = (
+            "no LPIPS backend: pass --lpips_vgg/--lpips_lin (vgg16 + lpips "
+            "v0.1 calibration weights, non-redistributable; download_data.sh)"
+            " or install the `lpips` package"
+        )
+    if result["re_id"] is None:
+        unavailable["re_id"] = (
+            "no Re-ID embedder: pass --reid_weights model_ir_se50.pth with a "
+            "calibrated --reid_threshold (apps/calibrate_reid.py; EVAL.md §2)"
+        )
+    if result["fid"] is None:
+        unavailable["fid"] = (
+            "no FID backend: torchmetrics unavailable and no --ckpt for the "
+            "CLIP fallback"
+        )
+    if unavailable:
+        result["unavailable_backends"] = unavailable
     # reference printout shape (eval_2d_facescape.py:139)
     print(
         f"SSIM: {result['ssim']}, LPIPS: {result['lpips']}, "

@@ -49,8 +49,11 @@ class SyncDDIMSampler:
         self.ddim = schedules.make_ddim_schedule(sched, self.sample_steps, self.eta)
 
     def denoise_latents(self, params, batch, prep, rng, cfg_scale,
-                        view_sharding=None):
+                        view_sharding=None, collect_trajectory=False):
         """Run the full reverse process; returns final latents (B, N, h, w, 4).
+        With collect_trajectory=True returns (latents, (T, B, N, h, w, 4))
+        — the post-update latent at every step, for serving-mode quality
+        studies (e.g. bf16-vs-int8 drift curves, tools/int8_trajectory.py).
 
         view_sharding: optional NamedSharding (e.g. P(None, "view")) pinning
         the N-view axis across a device mesh. XLA's SPMD partitioner then
@@ -90,10 +93,13 @@ class SyncDDIMSampler:
             # eta-noise on every step except the last (denoise_apply_impl :695-697)
             noise = jax.random.normal(step_rng, x.shape, jnp.float32)
             noise = noise * (index != 0).astype(jnp.float32)
-            return constrain(schedules.ddim_step(x, eps, index, ddim, noise)), None
+            x_new = constrain(schedules.ddim_step(x, eps, index, ddim, noise))
+            return x_new, (x_new if collect_trajectory else None)
 
         indices = jnp.arange(ddim.num_steps - 1, -1, -1)
-        x, _ = jax.lax.scan(body, x, indices)
+        x, traj = jax.lax.scan(body, x, indices)
+        if collect_trajectory:
+            return x, traj
         return x
 
     def sample(self, params, batch, rng, cfg_scale: float = 2.0,
