@@ -159,6 +159,11 @@ def _inception_fid(real, fake):
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data_dir", type=str, required=True)
     parser.add_argument("--generated_dir", type=str, required=True)

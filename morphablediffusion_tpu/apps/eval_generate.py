@@ -25,6 +25,11 @@ import numpy as np
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--data_dir", type=str, required=True)
     parser.add_argument("--mode", type=str, required=True, choices=["nvs", "nes"])

@@ -96,6 +96,11 @@ def _native(images, weights: str, image_size: int):
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--output", type=str, required=True)

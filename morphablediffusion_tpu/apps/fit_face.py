@@ -86,6 +86,11 @@ def _detect(img: np.ndarray, precomputed: str, kpt_weights: str,
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input_img", type=str, required=True,
                         help="identity photo")

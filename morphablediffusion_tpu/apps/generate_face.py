@@ -150,6 +150,11 @@ def export_neus2(root, views, Ks, RTs):
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input_img", type=str, required=True)
     parser.add_argument("--exp_img", type=str, default="")

@@ -75,6 +75,11 @@ def save_val_sheet(images, batch, path):
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-b", "--base", type=str, required=True, help="config yaml")
     parser.add_argument("-l", "--logdir", type=str, default="runs")

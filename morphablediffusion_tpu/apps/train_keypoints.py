@@ -162,6 +162,11 @@ def _labels_from_mesh(spec_path: Path, image_dir: Path, mesh_path: Path,
 
 
 def main(argv=None):
+    from morphablediffusion_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--image_dir", type=str, required=True)
     parser.add_argument("--labels", type=str, required=True,
