@@ -117,6 +117,15 @@ def main(argv=None):
     parser.add_argument("--n_exp", type=int, default=50)
     parser.add_argument("--focal", type=float, default=0.0,
                         help="fitting focal length in px (default: 1.2*max(H,W))")
+    parser.add_argument("--silhouette", action="store_true",
+                        help="add the silhouette LM stage: matte each photo "
+                             "with the native backend (preprocessing/"
+                             "matting.py) and couple the fit to the matte "
+                             "contour (fitting/silhouette.py). Default off — "
+                             "on synthetic ground truth the stage is 2D-"
+                             "informative but does not improve 3D vertex "
+                             "RMS (measured, docs/FITTING.md); intended for "
+                             "real-FLAME deployment")
     parser.add_argument("--overlay", type=str, default="",
                         help="write a PNG of the input photo with the "
                              "DETECTED landmarks (green) and the fitted "
@@ -140,8 +149,19 @@ def main(argv=None):
     f = flags.focal or 1.2 * max(H, W)
     K = np.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
 
+    mask_in = mask_exp = None
+    if flags.silhouette:
+        from morphablediffusion_tpu.preprocessing.matting import matte
+
+        def _mask(img):
+            rgba = matte((np.clip(img, 0, 1) * 255).astype(np.uint8),
+                         backend="native")
+            return rgba[..., 3] > 127
+
+        mask_in, mask_exp = _mask(img_in), _mask(img_exp)
     verts, info = fit_two_photos(
-        model, lmk_in, lmk_exp, K, FitConfig(steps_per_stage=flags.steps)
+        model, lmk_in, lmk_exp, K, FitConfig(steps_per_stage=flags.steps),
+        mask_input=mask_in, mask_exp=mask_exp,
     )
     out = Path(flags.out)
     out.parent.mkdir(parents=True, exist_ok=True)

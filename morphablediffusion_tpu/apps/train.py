@@ -97,6 +97,15 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=0, help="override config")
     parser.add_argument("--profile_steps", type=str, default="",
                         help="capture a jax.profiler trace, e.g. '10-15'")
+    parser.add_argument("--rss_restart_gb", type=float, default=0.0,
+                        help="self-restart (checkpoint -> os.execv with "
+                             "--resume) when host RSS exceeds this many GiB "
+                             "at a rolling-checkpoint step. Failure-recovery "
+                             "guard for host-side memory leaks outside this "
+                             "process's control (the axon TPU plugin retains "
+                             "one transferred batch per step — "
+                             "/tmp-reproduced; the reference's equivalent is "
+                             "crash + `--resume`, SURVEY §5). 0 = off")
     flags = parser.parse_args(argv)
 
     import jax
@@ -264,6 +273,35 @@ def main(argv=None):
                 )
 
         ckpt_mgr.maybe_save(state, step)
+
+        if (flags.rss_restart_gb
+                and step % max(cfg.train.rolling_checkpoint_every, 1) == 0
+                and step < cfg.train.max_steps):
+            try:
+                with open("/proc/self/statm") as f:
+                    rss_gb = int(f.read().split()[1]) * 4096 / 2**30
+            except OSError:
+                rss_gb = 0.0
+            if rss_gb > flags.rss_restart_gb:
+                # the rolling checkpoint for this step was just saved; replace
+                # the process image (resets the leaked host buffers) and
+                # resume from it. Compile-cache makes the restart ~minutes.
+                import os
+                import sys as _sys
+
+                ckpt_mgr.wait()
+                if writer:
+                    writer.close()
+                argv_new = [a for a in (argv if argv is not None
+                                        else _sys.argv[1:])]
+                if "--resume" not in argv_new:
+                    argv_new.append("--resume")
+                print(f"rss {rss_gb:.1f} GiB > {flags.rss_restart_gb} GiB: "
+                      f"self-restarting with --resume at step {step}",
+                      flush=True)
+                os.execv(_sys.executable,
+                         [_sys.executable, "-m",
+                          "morphablediffusion_tpu.apps.train"] + argv_new)
 
     ckpt_mgr.maybe_save(state, int(state.step), force=True)
     ckpt_mgr.wait()

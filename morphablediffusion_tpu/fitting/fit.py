@@ -279,7 +279,7 @@ def fit_landmarks(
         from morphablediffusion_tpu.fitting import silhouette as sil
 
         mask_np = np.asarray(mask).astype(bool)
-        S = mask_np.shape[0]
+        S = mask_np.shape  # (h, w) — photos need not be square
         dt_out = jnp.asarray(sil.mask_to_dt(mask_np))
         contour = jnp.asarray(sil.mask_contour(mask_np, cfg.sil_contour_n))
         px_scale = float(300.0 / np.asarray(K)[0, 0])
@@ -308,7 +308,7 @@ def fit_landmarks(
             deadband = sil.vertex_spacing_px(vpx, vis_np)
             corr = sil.contour_correspondences(
                 contour_np, sil.render_silhouette(model, p_np, np.asarray(K), S),
-                vpx, vis_np, max_px=0.15 * S, target_mask=mask_np,
+                vpx, vis_np, max_px=0.15 * min(S), target_mask=mask_np,
             )
             run_sil = _lm_stage_runner(
                 functools.partial(
@@ -341,6 +341,8 @@ def fit_two_photos(
     lmk_exp: np.ndarray,
     K: np.ndarray,
     cfg: Optional[FitConfig] = None,
+    mask_input: Optional[np.ndarray] = None,  # subject mattes -> silhouette
+    mask_exp: Optional[np.ndarray] = None,    # stage per photo (see fit_landmarks)
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Identity from the input photo + expression/pose from the expression
     photo -> retargeted vertices (the generate_face.sh stage-1/2 contract:
@@ -355,11 +357,11 @@ def fit_two_photos(
     gauge folded into the discarded camera, `canonicalize_global`).
     """
     cfg = cfg or FitConfig()
-    p_in, info_in = fit_landmarks(model, lmk_input, K, cfg)
+    p_in, info_in = fit_landmarks(model, lmk_input, K, cfg, mask=mask_input)
     init = init_params(model, 256)
     init["shape"] = jnp.asarray(p_in["shape"])
     p_exp, info_exp = fit_landmarks(
-        model, lmk_exp, K, cfg, init=init, freeze_shape=True
+        model, lmk_exp, K, cfg, init=init, freeze_shape=True, mask=mask_exp
     )
     verts = flame_forward(
         model,

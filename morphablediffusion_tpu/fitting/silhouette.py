@@ -45,10 +45,17 @@ from morphablediffusion_tpu.fitting.flame import FlameModel, flame_forward
 # host-side: masks, distance transforms, contours, visibility
 
 
+def _hw(image_size) -> tuple:
+    """int S -> (S, S); (h, w) tuple passes through (non-square photos)."""
+    if isinstance(image_size, (tuple, list)):
+        return int(image_size[0]), int(image_size[1])
+    return int(image_size), int(image_size)
+
+
 def render_silhouette(
-    model: FlameModel, params: dict, K: np.ndarray, image_size: int
+    model: FlameModel, params: dict, K: np.ndarray, image_size
 ) -> np.ndarray:
-    """Rasterize the posed FLAME mesh into an (S, S) bool mask with the
+    """Rasterize the posed FLAME mesh into an (h, w) bool mask with the
     native z-buffer rasterizer (numpy fallback inside raster.py)."""
     depth = _render_depth(model, params, K, image_size)
     return depth > 0.0
@@ -72,18 +79,17 @@ def _verts_px(model: FlameModel, params: dict, K: np.ndarray) -> np.ndarray:
 
 
 def _render_depth(
-    model: FlameModel, params: dict, K: np.ndarray, image_size: int
+    model: FlameModel, params: dict, K: np.ndarray, image_size
 ) -> np.ndarray:
     from morphablediffusion_tpu.preprocessing.raster import rasterize_depth_px
 
+    h, w = _hw(image_size)
     vpx = _verts_px(model, params, K)
-    return rasterize_depth_px(
-        vpx, np.asarray(model.faces, np.int32), image_size, image_size
-    )
+    return rasterize_depth_px(vpx, np.asarray(model.faces, np.int32), h, w)
 
 
 def vertex_visibility(
-    model: FlameModel, params: dict, K: np.ndarray, image_size: int,
+    model: FlameModel, params: dict, K: np.ndarray, image_size,
     rel_eps: float = 0.02,
 ) -> np.ndarray:
     """(V,) float 1.0 where the vertex wins (or nearly wins) the z-buffer.
@@ -91,13 +97,14 @@ def vertex_visibility(
     A vertex is visible when its camera depth is within ``rel_eps`` (relative)
     of the rasterized depth at its pixel. Off-screen vertices are invisible.
     """
+    h, w = _hw(image_size)
     vpx = _verts_px(model, params, K)
     depth = _render_depth(model, params, K, image_size)
-    xi = np.clip(np.round(vpx[:, 0]).astype(int), 0, image_size - 1)
-    yi = np.clip(np.round(vpx[:, 1]).astype(int), 0, image_size - 1)
+    xi = np.clip(np.round(vpx[:, 0]).astype(int), 0, w - 1)
+    yi = np.clip(np.round(vpx[:, 1]).astype(int), 0, h - 1)
     on = (
-        (vpx[:, 0] >= 0) & (vpx[:, 0] <= image_size - 1)
-        & (vpx[:, 1] >= 0) & (vpx[:, 1] <= image_size - 1)
+        (vpx[:, 0] >= 0) & (vpx[:, 0] <= w - 1)
+        & (vpx[:, 1] >= 0) & (vpx[:, 1] <= h - 1)
     )
     zbuf = depth[yi, xi]
     vis = on & (zbuf > 0) & (vpx[:, 2] <= zbuf * (1.0 + rel_eps))
