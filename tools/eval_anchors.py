@@ -45,18 +45,26 @@ def main(argv=None):
     S = args.image_size
 
     def load(subject, exp, view):
-        p = (Path(args.data_dir) / subject / exp / f"view_{view:05d}"
-             / "rgba_colorcalib.png")
+        p = (Path(args.data_dir) / subject / exp
+             / f"view_{int(view):05d}" / "rgba_colorcalib.png")
         img = (load_rgba_white(p, S) + 1) / 2
         return img, load_mask(p, S)
 
     rows = {"copy_input": {"ssim": [], "psnr": []},
             "noise": {"ssim": [], "psnr": []}}
-    n = 0
+    per_pair = []
+    n = n_identity = 0
     for subject in meta:
         for exp, m in meta[subject].items():
             inp, _ = load(subject, exp, m["input_view"])
             for v in m["target_views"]:
+                n += 1
+                if int(v) == int(m["input_view"]):
+                    # copy-input is EXACT on the input view itself (infinite
+                    # PSNR) — degenerate for an anchor; excluded and counted.
+                    # Compare the model on the same non-identity subset.
+                    n_identity += 1
+                    continue
                 gt, mask = load(subject, exp, v)
                 for name, pred in (
                     ("copy_input", inp),
@@ -65,11 +73,14 @@ def main(argv=None):
                     pm = M.masked(pred, mask)  # protocol: mask by GT alpha
                     rows[name]["ssim"].append(M.ssim(pm, gt))
                     rows[name]["psnr"].append(M.psnr(pm, gt))
-                n += 1
+                per_pair.append(f"{subject}/{exp}/{int(v):05d}")
     result = {
-        "pairs": n,
+        "pairs_total": n,
+        "pairs_scored": n - n_identity,
+        "identity_pairs_excluded": n_identity,
         **{name: {k: float(np.mean(vals)) for k, vals in d.items()}
            for name, d in rows.items()},
+        "scored_pairs": per_pair,
     }
     print(json.dumps(result))
     if args.out:
