@@ -96,11 +96,14 @@ def _load_real_params(cfg, abstract, cfg_path):
             import orbax.checkpoint as ocp
 
             with ocp.PyTreeCheckpointer() as ckptr:
+                # restore as host numpy (no sharding metadata needed), then
+                # one device_put of the whole tree
                 params = ckptr.restore(
                     native,
                     args=ocp.args.PyTreeRestore(
                         restore_args=jax.tree.map(
-                            lambda s: ocp.ArrayRestoreArgs(dtype=s.dtype),
+                            lambda s: ocp.ArrayRestoreArgs(
+                                restore_type=np.ndarray, dtype=s.dtype),
                             serving_abstract,
                         )
                     ),

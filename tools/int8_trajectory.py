@@ -93,7 +93,8 @@ def main(argv=None):
             args.native_cache,
             args=ocp.args.PyTreeRestore(
                 restore_args=jax.tree.map(
-                    lambda s: ocp.ArrayRestoreArgs(dtype=s.dtype),
+                    lambda s: ocp.ArrayRestoreArgs(
+                        restore_type=np.ndarray, dtype=s.dtype),
                     serving_abstract)))
     params = jax.device_put(params)
     print("# params restored from native cache", file=sys.stderr)
