@@ -126,7 +126,7 @@ class DepthTransformer(nn.Module):
                                    dtype=self.dtype, kernel_init=zeros_init,
                                    int8=self.int8)
 
-    def _fused_ok(self, context) -> bool:
+    def _fused_ok(self, context, train: bool = False) -> bool:
         """Fully-fused context path: proj+GN stats folded to an affine, one
         Pallas kernel streams the raw frustum context ONCE (proj -> norm ->
         k/v -> attention all in VMEM). Profiled ~13 ms/step at width 32 for
@@ -140,13 +140,23 @@ class DepthTransformer(nn.Module):
         if self.is_initializing():
             return False  # plain path creates all params
         inner = self.num_heads * self.head_dim
+        if inner % 128 != 0:
+            return False
+        if train:
+            # TRAINING keeps the round-2/3 W >= 8 gate: routing the W=4
+            # middle-level blocks through the fused kernels' custom VJP
+            # saves extra residuals and pushed the flagship batch-8 train
+            # step ~100 MB over HBM (round-5 ladder re-measure). Serving
+            # keeps the fold (it is what the round-4 3.58 s number bought).
+            return context.shape[-2] >= 8
         # total spatial extent >= 8: the kernels tile small-W maps at H*W
         # rows (plain path folds, ctx path hb-row-blocks), so the W=4
-        # middle-level blocks now ride the fused path too (PERF.md round-4
+        # middle-level blocks ride the fused path too (PERF.md round-4
         # W=4 lever study)
-        return context.shape[-2] * context.shape[-3] >= 8 and inner % 128 == 0
+        return context.shape[-2] * context.shape[-3] >= 8
 
-    def __call__(self, x, context, cfg_doubled: bool = False):
+    def __call__(self, x, context, cfg_doubled: bool = False,
+                 train: bool = False):
         inner = self.num_heads * self.head_dim
         ctx_dim = context.shape[-1]
         x_in = x
@@ -177,7 +187,7 @@ class DepthTransformer(nn.Module):
 
         h = self.proj_in_norm(self.proj_in_conv(xc))
 
-        if self._fused_ok(context):
+        if self._fused_ok(context, train=train):
             from morphablediffusion_tpu.ops.depth_attention import (
                 ctx_moments,
                 depth_attention_ctx,
@@ -271,7 +281,7 @@ class DepthWiseUNet(nn.Module):
         # cfg_doubled (argnum 3; 0 is the module) is Python control flow ->
         # static under remat
         dt_cls = (
-            nn.remat(DepthTransformer, static_argnums=(3,))
+            nn.remat(DepthTransformer, static_argnums=(3, 4))
             if remat else DepthTransformer
         )
 
@@ -320,7 +330,7 @@ class DepthWiseUNet(nn.Module):
         h = res(ch, "mid_res1")(h, emb)
         d3 = self.volume_dims[3]
         h = depth_tf(d3, ch, "middle_conditions")(
-            h, source_dict[h.shape[-2]], cfg_doubled
+            h, source_dict[h.shape[-2]], cfg_doubled, remat
         )
 
         # decoder; DepthTransformers after output blocks 3..11
@@ -343,7 +353,7 @@ class DepthWiseUNet(nn.Module):
                 if block in out_cond_ctx:
                     cd = self.volume_dims[out_cond_ctx[block]]
                     h = depth_tf(cd, h.shape[-1], f"out_{block}_cond")(
-                        h, source_dict[h.shape[-2]], cfg_doubled
+                        h, source_dict[h.shape[-2]], cfg_doubled, remat
                     )
                 block += 1
 
